@@ -1,0 +1,105 @@
+"""Warehouse facade: Iceberg-shaped API over local Parquet + JSON manifests.
+
+North_rule requires every stage to checkpoint with lineage + counters so a
+killed job resumes mid-pipeline. The real deployment writes Iceberg tables
+(`spark.catalog`/`writeTo(...)`); this sandbox has no Iceberg runtime jar
+(SURVEY §7.0), so the facade keeps the same call shape and persists:
+
+  <warehouse>/<table>/data/*.parquet          (the rows)
+  <warehouse>/<table>/_manifest.json          (schema, snapshot id = content
+                                               fingerprint of inputs+spec,
+                                               row count, per-stage lineage)
+
+``snapshot`` ids are deterministic fingerprints of (spec version, upstream
+snapshot ids, stage name), so resume only reuses a checkpoint whose whole
+upstream lineage is unchanged — the Iceberg-snapshot semantics that matter
+for correctness. Swapping in a real catalog is a config change, not code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def fingerprint(*parts: str) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_manifest.json")
+
+    # -- manifest ---------------------------------------------------------
+    def manifest(self, table: str) -> dict | None:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def has_snapshot(self, table: str, snapshot: str) -> bool:
+        m = self.manifest(table)
+        return bool(m) and m.get("snapshot") == snapshot
+
+    # -- io ----------------------------------------------------------------
+    def write(self, table: str, df: DataFrame, snapshot: str,
+              lineage: dict | None = None,
+              partition_by: list[str] | None = None) -> DataFrame:
+        d = self._dir(table)
+        data = os.path.join(d, "data")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data)
+        out = self.spark.read.parquet(data)
+        n = out.count()
+        man = {
+            "table": table,
+            "snapshot": snapshot,
+            "rows": n,
+            "schema": out.schema.json(),
+            "lineage": lineage or {},
+            "written_unix": int(time.time()),
+        }
+        with open(self._manifest_path(table), "w") as f:
+            json.dump(man, f, indent=1)
+        return out
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(table), "data"))
+
+    def drop(self, table: str) -> None:
+        d = self._dir(table)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    # -- stage runner (resume point) ---------------------------------------
+    def stage(self, table: str, snapshot: str, build,
+              lineage: dict | None = None,
+              partition_by: list[str] | None = None) -> DataFrame:
+        """Return checkpointed stage output; rebuild only when the
+        snapshot fingerprint (spec + upstream lineage) changed."""
+        if self.has_snapshot(table, snapshot):
+            return self.read(table)
+        return self.write(table, build(), snapshot, lineage, partition_by)

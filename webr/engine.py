@@ -1,0 +1,264 @@
+"""The distributed pipeline (SURVEY §3.1 re-design):
+
+pages -> mentions (Arrow mapInPandas, shared kernel)
+      -> idf (explode + groupBy, A4)
+      -> mentions+idf_map (distributed token join — no driver dict)
+      -> candidate pairs (block explode; J1 self-join for small blocks,
+         sorted-neighborhood window for mega-blocks = explicit skew rule)
+      -> pair scores (Arrow mapInPandas, shared batched kernel, A8)
+      -> edges (score >= EPS) -> hash-min connected components (C3)
+      -> clusters, entities (A6 majority vote)
+
+Every stage checkpoints through the Warehouse facade with a lineage
+fingerprint, so a killed job resumes from the last complete stage
+(north_rule). Stage boundaries == shuffle boundaries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from webr import schema, spec
+from webr.catalog import Warehouse, fingerprint
+from webr.cluster import label_clusters
+from webr.features import score_pairs
+from webr.mentions import derive_mentions
+
+SIDE_COLS = ["doc_id", "name_norm", "first", "middle", "last",
+             "title_toks", "body_toks", "host", "idf_map"]
+
+
+# --------------------------------------------------------------------------
+# stage builders (each returns a lazily-planned DataFrame)
+
+def build_mentions(pages: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield derive_mentions(pdf)
+    return pages.select("url", "html", "text").mapInPandas(
+        gen, schema=schema.MENTIONS)
+
+
+def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
+    """idf = ln(N/df) (A4/F18). The log runs in Python (math.log) inside an
+    Arrow batch so the doubles are bitwise-identical to the oracle's."""
+    tok = (mentions.select("url", F.explode("body_toks").alias("token"))
+           .distinct())
+    counts = tok.groupBy("token").agg(F.count("*").alias("df"))
+
+    def add_idf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["idf"] = [math.log(n_mentions / c) for c in pdf["df"]]
+            yield pdf
+    return counts.mapInPandas(add_idf, schema=schema.IDF)
+
+
+def build_mentions_idf(mentions: DataFrame, idf: DataFrame) -> DataFrame:
+    exploded = (mentions.select("url", F.explode("body_toks").alias("token"))
+                .distinct())
+    maps = (exploded.join(idf.select("token", "idf"), "token")
+            .groupBy("url")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token", "idf"))).alias("idf_map")))
+    return (mentions.join(maps, "url", "left")
+            .withColumn("idf_map", F.coalesce(
+                "idf_map",
+                F.from_json(F.lit("{}"), "map<string,double>"))))
+
+
+def build_pairs(mentions: DataFrame) -> DataFrame:
+    """Candidate pair generation. Small blocks: all i<j pairs via self-join
+    on block_key (J1/P10 — Catalyst picks the physical join, AQE handles
+    residual skew). Blocks over MAX_BLOCK_SIZE: sorted-neighborhood window
+    (orderBy name_norm,url; lead 1..SN_WINDOW) — bounds any block to O(n·W)
+    pairs, which is the explicit mega-block/skew rule (SURVEY §4)."""
+    memb = (mentions
+            .where(F.col("parse_ok") & (F.size("block_keys") > 0))
+            .select("url", "name_norm",
+                    F.explode("block_keys").alias("bk")))
+    sizes = memb.groupBy("bk").agg(F.count("*").alias("bk_n"))
+    memb = memb.join(sizes, "bk")  # singleton blocks die via bk_n >= 2
+
+    small = memb.where((F.col("bk_n") >= 2)
+                       & (F.col("bk_n") <= spec.MAX_BLOCK_SIZE))
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                          & (F.col("a.url") < F.col("b.url")))
+                   .select(F.col("a.bk").alias("bk"),
+                           F.col("a.url").alias("url_1"),
+                           F.col("b.url").alias("url_2")))
+
+    big = memb.where(F.col("bk_n") > spec.MAX_BLOCK_SIZE)
+    w = Window.partitionBy("bk").orderBy("name_norm", "url")
+    nbrs = F.array(*[F.lead("url", o).over(w)
+                     for o in range(1, spec.SN_WINDOW + 1)])
+    pairs_big = (big.select("bk", "url", nbrs.alias("nbrs"))
+                 .select("bk", "url", F.explode("nbrs").alias("nbr"))
+                 .where(F.col("nbr").isNotNull())
+                 .select("bk",
+                         F.least("url", "nbr").alias("url_1"),
+                         F.greatest("url", "nbr").alias("url_2")))
+
+    return (pairs_small.unionByName(pairs_big)
+            .groupBy("url_1", "url_2")
+            .agg(F.min("bk").alias("block_key")))
+
+
+def attach_sides(pairs: DataFrame, mentions_idf: DataFrame) -> DataFrame:
+    m = mentions_idf.select("url", *SIDE_COLS)
+    m1 = m.select(F.col("url").alias("url_1"),
+                  *[F.col(c).alias(f"{c}_1") for c in SIDE_COLS])
+    m2 = m.select(F.col("url").alias("url_2"),
+                  *[F.col(c).alias(f"{c}_2") for c in SIDE_COLS])
+    out = pairs.join(m1, "url_1").join(m2, "url_2")
+    return out.select([f.name for f in schema.PAIRS.fields])
+
+
+def build_pair_scores(pairs_sided: DataFrame) -> DataFrame:
+    names = [f.name for f in schema.PAIR_SCORES.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = score_pairs(pdf)
+            yield out[names]
+    return pairs_sided.mapInPandas(gen, schema=schema.PAIR_SCORES)
+
+
+def build_entities(mentions_idf: DataFrame, idf: DataFrame,
+                   clusters: DataFrame,
+                   profile_top: int = 256) -> DataFrame:
+    """Canonical record per cluster (ref import_clusters.py:86-194, A6/W3):
+    majority-vote name + top-3 hosts + top-N tf-idf profile tokens."""
+    members = (clusters.where(~F.col("is_noise"))
+               .join(mentions_idf, "url"))
+
+    def mode_of(col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("cnt"), F.asc(col))
+        return (members.groupBy("cluster_id", col)
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("cluster_id", F.col(col).alias(alias)))
+
+    names = mode_of("name_norm", "canonical_name")
+    lasts = mode_of("last", "last")
+    firsts = (members
+              .groupBy("cluster_id", F.substring("first", 1, 1).alias("fi"))
+              .agg(F.count("*").alias("cnt"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("cluster_id").orderBy(
+                      F.desc("cnt"), F.asc("fi"))))
+              .where(F.col("rn") == 1)
+              .select("cluster_id", F.col("fi").alias("first_initial")))
+    host_w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc("host"))
+    hosts = (members.groupBy("cluster_id", "host")
+             .agg(F.count("*").alias("cnt"))
+             .withColumn("rn", F.row_number().over(host_w))
+             .where(F.col("rn") <= 3)
+             .groupBy("cluster_id")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("rn", "host"))).alias("hs"))
+             .select("cluster_id",
+                     F.expr("transform(hs, x -> x.host)").alias("hosts")))
+    counts = (members.groupBy("cluster_id")
+              .agg(F.count("*").alias("n_members")))
+
+    # cluster BoW profile: sum member tf*idf per token, keep top-N (A5)
+    tf = (members.select("cluster_id", "url",
+                         F.explode("body_toks").alias("token"))
+          .groupBy("cluster_id", "url", "token")
+          .agg(F.count("*").alias("tf")))
+    weights = (tf.join(idf.select("token", "idf"), "token")
+               .groupBy("cluster_id", "token")
+               .agg(F.sum(F.col("tf") * F.col("idf")).alias("w")))
+    top_w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("w"), F.asc("token"))
+    profile = (weights.withColumn("rn", F.row_number().over(top_w))
+               .where(F.col("rn") <= profile_top)
+               .groupBy("cluster_id")
+               .agg(F.map_from_entries(F.collect_list(
+                   F.struct("token", "w"))).alias("profile")))
+
+    out = (counts.join(names, "cluster_id")
+           .join(lasts, "cluster_id")
+           .join(firsts, "cluster_id")
+           .join(hosts, "cluster_id", "left")
+           .join(profile, "cluster_id", "left"))
+    return out.select([f.name for f in schema.ENTITIES.fields])
+
+
+# --------------------------------------------------------------------------
+# orchestrated, checkpointed run
+
+class Pipeline:
+    """Checkpointed ER pipeline over a Warehouse. ``input_id`` must change
+    when the input data changes (e.g. path + row count); every stage
+    snapshot fingerprints (scoring spec, input, upstream snapshots)."""
+
+    STAGES = ["mentions", "idf", "mentions_idf", "pairs", "pair_scores",
+              "clusters", "entities"]
+
+    def __init__(self, spark: SparkSession, warehouse_root: str,
+                 input_id: str):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.base = fingerprint(spec.SCORING_VERSION, input_id)
+
+    def snap(self, stage: str, *upstream: str) -> str:
+        return fingerprint(self.base, stage, *upstream)
+
+    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        wh = self.wh
+        s_m = self.snap("mentions")
+        mentions = wh.stage("mentions", s_m, lambda: build_mentions(pages),
+                            lineage={"input": self.base})
+        n_mentions = wh.manifest("mentions")["rows"]
+
+        s_idf = self.snap("idf", s_m)
+        idf = wh.stage("idf", s_idf,
+                       lambda: build_idf(mentions, n_mentions),
+                       lineage={"mentions": s_m})
+
+        s_mi = self.snap("mentions_idf", s_m, s_idf)
+        mentions_idf = wh.stage(
+            "mentions_idf", s_mi,
+            lambda: build_mentions_idf(mentions, idf),
+            lineage={"mentions": s_m, "idf": s_idf})
+
+        s_p = self.snap("pairs", s_m)
+        pairs = wh.stage("pairs", s_p, lambda: build_pairs(mentions),
+                         lineage={"mentions": s_m})
+
+        s_ps = self.snap("pair_scores", s_p, s_mi)
+        pair_scores = wh.stage(
+            "pair_scores", s_ps,
+            lambda: build_pair_scores(attach_sides(pairs, mentions_idf)),
+            lineage={"pairs": s_p, "mentions_idf": s_mi})
+
+        s_c = self.snap("clusters", s_ps)
+        clusters = wh.stage(
+            "clusters", s_c,
+            lambda: label_clusters(
+                mentions,
+                pair_scores.where("is_edge").select("url_1", "url_2")),
+            lineage={"pair_scores": s_ps})
+
+        s_e = self.snap("entities", s_c, s_mi, s_idf)
+        entities = wh.stage(
+            "entities", s_e,
+            lambda: build_entities(mentions_idf, idf, clusters),
+            lineage={"clusters": s_c, "mentions_idf": s_mi, "idf": s_idf})
+
+        return {
+            "mentions": mentions, "idf": idf, "mentions_idf": mentions_idf,
+            "pairs": pairs, "pair_scores": pair_scores,
+            "clusters": clusters, "entities": entities,
+        }

@@ -1,0 +1,131 @@
+"""Pairwise feature + scoring kernel, shared by oracle and engine.
+
+``score_pairs(pairs_pdf, idf)`` is the batched kernel: one pandas DataFrame
+of candidate pairs in, features + calibrated score out. The engine calls it
+inside an Arrow-batched ``mapInPandas`` (analog of the reference's single
+batched ``predict_proba`` over the per-block feature matrix,
+dao/author_block.py:357-410); the NumPy oracle calls it directly. Floating
+point is bitwise-identical on both sides because token accumulation is done
+in sorted-key order.
+
+Features (SURVEY §2.7): Jaro-Winkler on full names (F2), Soundex agreement
+on last names (F4), Jaccard-with-eps on title tokens (F1), TF-IDF cosine on
+body tokens (F5/F18), Levenshtein-normalized host similarity (F3).
+Pre-filters applied as hard gates exactly like the reference: name
+compatibility (P6, dao/author.py:75-110) and same-document exclusion
+(P7, dao/author_block.py:386-389) force score 0.0.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from webr import spec
+from webr.textproc import (
+    jaccard, jaro_winkler, levenshtein, names_compatible, soundex,
+)
+
+FEATURE_COLUMNS = [
+    "name_jw", "soundex_agree", "title_jac", "body_cos", "host_sim",
+    "compat", "same_doc", "raw", "score", "is_edge",
+]
+
+
+def tfidf_weights(tokens: list[str], idf: dict | None) -> dict:
+    """token -> tf * idf (missing token -> 0.0 weight, ref F18
+    util/utils.py:40 / classifier/feature_vector.py:36)."""
+    if idf is None:
+        idf = {}
+    tf: dict[str, int] = {}
+    for t in tokens:
+        tf[t] = tf.get(t, 0) + 1
+    return {t: c * idf.get(t, 0.0) for t, c in tf.items()}
+
+
+def sparse_cosine(wa: dict, wb: dict) -> float:
+    """L2-normalized dot over key intersection; 0.0 if either norm is 0
+    (ref classifier/feature_vector_bow.py:23-60). Deterministic float64:
+    sorted-key accumulation on both sides."""
+    na = math.sqrt(sum(wa[k] * wa[k] for k in sorted(wa)))
+    nb = math.sqrt(sum(wb[k] * wb[k] for k in sorted(wb)))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    common = sorted(wa.keys() & wb.keys())
+    dot = 0.0
+    for k in common:
+        dot += wa[k] * wb[k]
+    return dot / (na * nb)
+
+
+def host_similarity(ha: str, hb: str) -> float:
+    if not ha and not hb:
+        return 0.0
+    m = max(len(ha), len(hb), 1)
+    return 1.0 - levenshtein(ha, hb) / m
+
+
+def _sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Batched kernel. Input columns required (suffix _1/_2 per side):
+    url, doc_id, name_norm, first, middle, last, title_toks, body_toks,
+    host, idf_map (token->idf for that mention's tokens — attached via a
+    distributed join in the engine, so no driver-side global vocabulary is
+    ever collected; SURVEY §4 broadcast-dict note, scaled up).
+    Returns input + FEATURE_COLUMNS."""
+    n = len(pairs)
+    out = {c: [0.0] * n for c in
+           ("name_jw", "soundex_agree", "title_jac", "body_cos", "host_sim",
+            "raw", "score")}
+    compat_l = [False] * n
+    same_doc_l = [False] * n
+    edge_l = [False] * n
+
+    cols = {c: pairs[c].tolist() for c in (
+        "doc_id_1", "doc_id_2", "name_norm_1", "name_norm_2",
+        "first_1", "first_2", "middle_1", "middle_2", "last_1", "last_2",
+        "title_toks_1", "title_toks_2", "body_toks_1", "body_toks_2",
+        "host_1", "host_2", "idf_map_1", "idf_map_2")}
+
+    for i in range(n):
+        same_doc = cols["doc_id_1"][i] == cols["doc_id_2"][i]
+        same_doc_l[i] = same_doc
+        compat = (cols["last_1"][i] == cols["last_2"][i]) and names_compatible(
+            cols["first_1"][i], cols["middle_1"][i],
+            cols["first_2"][i], cols["middle_2"][i])
+        compat_l[i] = compat
+        if same_doc or not compat:
+            continue  # hard gates BEFORE expensive features (ref §4 row 3)
+        jw = jaro_winkler(cols["name_norm_1"][i], cols["name_norm_2"][i])
+        sxa, sxb = soundex(cols["last_1"][i]), soundex(cols["last_2"][i])
+        sx = 1.0 if (sxa and sxa == sxb) else 0.0
+        tj = jaccard(set(cols["title_toks_1"][i]), set(cols["title_toks_2"][i]))
+        bc = sparse_cosine(
+            tfidf_weights(list(cols["body_toks_1"][i]), cols["idf_map_1"][i]),
+            tfidf_weights(list(cols["body_toks_2"][i]), cols["idf_map_2"][i]))
+        hs = host_similarity(cols["host_1"][i], cols["host_2"][i])
+        raw = (spec.W_NAME_JW * jw + spec.W_SOUNDEX * sx
+               + spec.W_TITLE_JAC * tj + spec.W_BODY_COS * bc
+               + spec.W_HOST_SIM * hs)
+        score = round(_sigmoid(spec.CAL_SLOPE * (raw - spec.CAL_CENTER)),
+                      spec.SCORE_DECIMALS)
+        out["name_jw"][i] = jw
+        out["soundex_agree"][i] = sx
+        out["title_jac"][i] = tj
+        out["body_cos"][i] = bc
+        out["host_sim"][i] = hs
+        out["raw"][i] = raw
+        out["score"][i] = score
+        edge_l[i] = score >= spec.EPS and bc >= spec.COS_MIN
+
+    res = pairs.copy()
+    for c, v in out.items():
+        res[c] = v
+    res["compat"] = compat_l
+    res["same_doc"] = same_doc_l
+    res["is_edge"] = edge_l
+    return res

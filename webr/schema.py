@@ -1,0 +1,86 @@
+"""Explicit StructType constants (SURVEY §1.3: the reference hardcodes
+column lists in SQL strings, dao/pubmed_doc.py:15-24; we make schemas
+first-class)."""
+
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DoubleType, LongType, MapType,
+    StringType, StructField, StructType, TimestampType,
+)
+
+PAGES = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+MENTIONS = StructType([
+    StructField("url", StringType(), False),
+    StructField("doc_id", StringType(), True),
+    StructField("host", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("name_raw", StringType(), True),
+    StructField("first", StringType(), True),
+    StructField("middle", StringType(), True),
+    StructField("last", StringType(), True),
+    StructField("name_norm", StringType(), True),
+    StructField("title_toks", ArrayType(StringType()), True),
+    StructField("body_toks", ArrayType(StringType()), True),
+    StructField("block_keys", ArrayType(StringType()), True),
+    StructField("parse_ok", BooleanType(), True),
+])
+
+IDF = StructType([
+    StructField("token", StringType(), False),
+    StructField("df", LongType(), False),
+    StructField("idf", DoubleType(), False),
+])
+
+# mention sides attached to a candidate pair
+_side = [
+    ("doc_id", StringType()), ("name_norm", StringType()),
+    ("first", StringType()), ("middle", StringType()),
+    ("last", StringType()), ("title_toks", ArrayType(StringType())),
+    ("body_toks", ArrayType(StringType())), ("host", StringType()),
+    ("idf_map", MapType(StringType(), DoubleType())),
+]
+
+PAIRS = StructType(
+    [StructField("url_1", StringType(), False),
+     StructField("url_2", StringType(), False),
+     StructField("block_key", StringType(), True)]
+    + [StructField(f"{n}_{s}", t, True) for s in ("1", "2") for n, t in _side]
+)
+
+PAIR_SCORES = StructType(
+    PAIRS.fields + [
+        StructField("name_jw", DoubleType(), True),
+        StructField("soundex_agree", DoubleType(), True),
+        StructField("title_jac", DoubleType(), True),
+        StructField("body_cos", DoubleType(), True),
+        StructField("host_sim", DoubleType(), True),
+        StructField("compat", BooleanType(), True),
+        StructField("same_doc", BooleanType(), True),
+        StructField("raw", DoubleType(), True),
+        StructField("score", DoubleType(), True),
+        StructField("is_edge", BooleanType(), True),
+    ]
+)
+
+CLUSTERS = StructType([
+    StructField("url", StringType(), False),
+    StructField("cluster_id", LongType(), False),
+    StructField("is_noise", BooleanType(), False),
+])
+
+ENTITIES = StructType([
+    StructField("cluster_id", LongType(), False),
+    StructField("canonical_name", StringType(), True),
+    StructField("last", StringType(), True),
+    StructField("first_initial", StringType(), True),
+    StructField("n_members", LongType(), False),
+    StructField("hosts", ArrayType(StringType()), True),
+    StructField("profile", MapType(StringType(), DoubleType()), True),
+])
