@@ -1,0 +1,352 @@
+"""ER-semantic operators re-expressed over the driver's ``documents`` table
+(doc_id, text, lang, source, n_chars) so each one has a DuckDB oracle.
+``source`` plays the hostname role, ``text`` the page text.
+
+Covers SURVEY §2 lines: P1/P4/P5 (normalize), F13/A1/A2 (blocking keys +
+singleton elimination), J1/P10 (in-block self-join, upper triangle),
+F1/F3 (Jaccard/Levenshtein), F2 (Jaro-Winkler), A4/F18 (IDF), F5/J3/W1
+(TF-IDF cosine top-k via broadcast-style token join), C3 (connected
+components = the clustering core), A6/W3 (majority-vote mode).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from webr.queries.common import (
+    duck_tokens_nostop, read, spark_tokens_nostop,
+)
+
+# shared fragments -----------------------------------------------------------
+
+_BK_SPARK = "concat(source, ':', substring(element_at({toks}, 1), 1, 1))"
+_BK_DUCK = "source || ':' || substr({toks}[1], 1, 1)"
+
+
+def _docs_with_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return (read(spark, sf, "documents")
+            .withColumn("toks", F.expr(spark_tokens_nostop("text")))
+            .withColumn("tset", F.array_sort(F.array_distinct("toks")))
+            .withColumn("block_key",
+                        F.expr(_BK_SPARK.format(toks="toks"))))
+
+
+_DUCK_DOCS = f"""
+  SELECT *, list_sort(list_distinct(toks)) AS tset,
+         {_BK_DUCK.format(toks='toks')} AS block_key
+  FROM (SELECT *, {duck_tokens_nostop('text')} AS toks FROM documents)
+"""
+
+
+# --- P1/P4/P5: normalization ---------------------------------------------------
+
+def q_doc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf)
+    return (d.select("doc_id",
+                     F.size("toks").alias("n_tokens"),
+                     F.size("tset").alias("n_distinct"),
+                     F.element_at("toks", 1).alias("first_token"))
+            .orderBy("doc_id"))
+
+
+SQL_DOC_NORMALIZE = f"""
+SELECT doc_id, len(toks) AS n_tokens, len(tset) AS n_distinct,
+       toks[1] AS first_token
+FROM ({_DUCK_DOCS}) ORDER BY doc_id
+"""
+
+
+# --- F13/A1/A2: blocking keys + singleton elimination --------------------------
+
+def q_doc_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf)
+    return (d.groupBy("block_key").agg(F.count("*").alias("block_size"))
+            .where(F.col("block_size") >= 2)
+            .orderBy("block_key"))
+
+
+SQL_DOC_BLOCKING = f"""
+SELECT block_key, count(*) AS block_size
+FROM ({_DUCK_DOCS})
+GROUP BY block_key HAVING count(*) >= 2 ORDER BY block_key
+"""
+
+
+# --- J1/P10: in-block self-join, upper triangle --------------------------------
+
+def q_doc_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf).select("doc_id", "block_key")
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.block_key").alias("block_key"))
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("block_key"))
+
+
+SQL_DOC_PAIRS = f"""
+SELECT a.block_key AS block_key, count(*) AS n_pairs
+FROM ({_DUCK_DOCS}) a JOIN ({_DUCK_DOCS}) b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+GROUP BY a.block_key ORDER BY block_key
+"""
+
+
+# --- F1/F3: Jaccard + Levenshtein pair features --------------------------------
+
+def q_doc_pair_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-arithmetic Jaccard (set sizes) + builtin levenshtein on
+    30-char prefixes: exact cross-engine parity, no float summation."""
+    d = (_docs_with_tokens(spark, sf)
+         .select("doc_id", "block_key", "tset",
+                 F.substring("text", 1, 30).alias("prefix"),
+                 "n_chars"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
+    uni = (F.size(F.col("a.tset")) + F.size(F.col("b.tset")) - inter)
+    return (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_1"),
+                    F.col("b.doc_id").alias("doc_id_2"),
+                    F.round(inter / uni, 6).alias("jaccard"),
+                    F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+                    .alias("lev_prefix"),
+                    F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                    .alias("len_diff"))
+            .orderBy("doc_id_1", "doc_id_2"))
+
+
+SQL_DOC_PAIR_FEATURES = f"""
+WITH d AS (SELECT doc_id, block_key, tset, substr(text,1,30) AS prefix,
+                  n_chars FROM ({_DUCK_DOCS}))
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round(len(list_intersect(a.tset, b.tset))::DOUBLE /
+             (len(a.tset) + len(b.tset)
+              - len(list_intersect(a.tset, b.tset))), 6) AS jaccard,
+       levenshtein(a.prefix, b.prefix) AS lev_prefix,
+       abs(a.n_chars - b.n_chars) AS len_diff
+FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# --- F2: Jaro-Winkler (python kernel vs duckdb builtin — same algorithm) -------
+
+def q_doc_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
+    d = (_docs_with_tokens(spark, sf)
+         .select("doc_id", "block_key",
+                 F.substring("text", 1, 40).alias("prefix")))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_id_1"),
+                     F.col("b.doc_id").alias("doc_id_2"),
+                     F.col("a.prefix").alias("p1"),
+                     F.col("b.prefix").alias("p2")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webr.textproc import jaro_winkler
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["jw"] = [round(jaro_winkler(x, y), 6)
+                         for x, y in zip(pdf["p1"], pdf["p2"])]
+            yield pdf[["doc_id_1", "doc_id_2", "jw"]]
+
+    return (pairs.mapInPandas(
+        gen, "doc_id_1 long, doc_id_2 long, jw double")
+        .orderBy("doc_id_1", "doc_id_2"))
+
+
+SQL_DOC_JARO_WINKLER = f"""
+WITH d AS (SELECT doc_id, block_key, substr(text,1,40) AS prefix
+           FROM ({_DUCK_DOCS}))
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round(jaro_winkler_similarity(a.prefix, b.prefix), 6) AS jw
+FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# --- A4/F18: corpus IDF ---------------------------------------------------------
+
+def q_doc_idf(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf)
+    n = d.count()
+    tok = d.select("doc_id", F.explode("tset").alias("token"))
+    return (tok.groupBy("token").agg(F.count("*").alias("df"))
+            .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")),
+                                       6))
+            .orderBy("token"))
+
+
+SQL_DOC_IDF = f"""
+WITH tok AS (SELECT doc_id, unnest(tset) AS token FROM ({_DUCK_DOCS}))
+SELECT token, count(*) AS df,
+       round(ln((SELECT count(*) FROM documents)::DOUBLE / count(*)), 6)
+       AS idf
+FROM tok GROUP BY token ORDER BY token
+"""
+
+
+# --- F5/J3/W1: TF-IDF cosine top-k ----------------------------------------------
+
+def q_doc_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational tf-idf cosine: explode tokens, weight by idf, join on
+    token between query docs (doc_id % 100 == 0) and the corpus, window
+    top-3 per query. Fully JVM-side (no UDF)."""
+    d = _docs_with_tokens(spark, sf)
+    n = d.count()
+    tf = (d.select("doc_id", F.explode("toks").alias("token"))
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    idf = (tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+           .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))))
+    w = (tf.join(idf, "token")
+         .select("doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")))
+    norm = (w.groupBy("doc_id")
+            .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    qw = (w.where(F.col("doc_id") % 100 == 0)
+          .select(F.col("doc_id").alias("q_id"), "token",
+                  F.col("w").alias("qw")))
+    dots = (qw.join(w, "token")
+            .where(F.col("doc_id") != F.col("q_id"))
+            .groupBy("q_id", "doc_id")
+            .agg(F.sum(F.col("qw") * F.col("w")).alias("dot")))
+    cos = (dots
+           .join(norm.select(F.col("doc_id").alias("q_id"),
+                             F.col("nrm").alias("qn")), "q_id")
+           .join(norm, "doc_id")
+           .select("q_id", "doc_id",
+                   (F.col("dot") / (F.col("qn") * F.col("nrm")))
+                   .alias("cos_raw")))
+    win = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("doc_id"))
+    return (cos.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= 3)
+            .select("q_id", "doc_id", F.round("cos_raw", 4).alias("cosine"),
+                    "rk")
+            .orderBy("q_id", "rk"))
+
+
+SQL_DOC_COSINE_TOPK = f"""
+WITH d AS ({_DUCK_DOCS}),
+tf AS (SELECT doc_id, unnest(toks) AS token FROM d),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+idf AS (SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE
+                          / count(DISTINCT doc_id)) AS idf
+        FROM tfc GROUP BY token),
+w AS (SELECT doc_id, tfc.token, tf * idf AS w FROM tfc JOIN idf USING (token)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS q_id, w.doc_id AS doc_id, sum(q.w * w.w) AS dot
+  FROM w q JOIN w ON q.token = w.token
+  WHERE q.doc_id % 100 = 0 AND w.doc_id <> q.doc_id
+  GROUP BY 1, 2),
+cos AS (
+  SELECT q_id, dots.doc_id,
+         dot / (qn.nrm * dn.nrm) AS cos_raw
+  FROM dots JOIN nrm qn ON qn.doc_id = dots.q_id
+            JOIN nrm dn ON dn.doc_id = dots.doc_id),
+rk AS (SELECT q_id, doc_id, cos_raw,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY round(cos_raw, 6) DESC, doc_id)
+              AS rk
+       FROM cos)
+SELECT q_id, doc_id, round(cos_raw, 4) AS cosine, rk
+FROM rk WHERE rk <= 3 ORDER BY q_id, rk
+"""
+
+
+# --- C3: transitive clustering (the flagship) -----------------------------------
+
+_EDGE_TAU = 0.6
+
+
+def _doc_edges(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf).select("doc_id", "block_key", "tset")
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
+    uni = F.size(F.col("a.tset")) + F.size(F.col("b.tset")) - inter
+    return (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(inter / uni >= _EDGE_TAU)
+            .select(F.col("a.doc_id").alias("doc_id_1"),
+                    F.col("b.doc_id").alias("doc_id_2")))
+
+
+def q_doc_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-set-similar docs in the same block, transitively closed via
+    distributed hash-min CC (webr.cluster). DuckDB oracle uses a recursive
+    CTE doing the same min-label propagation."""
+    from webr.cluster import connected_components
+    d = _docs_with_tokens(spark, sf).select("doc_id")
+    edges = _doc_edges(spark, sf).select(
+        F.col("doc_id_1").alias("url_1"), F.col("doc_id_2").alias("url_2"))
+    labels = connected_components(edges).select(
+        F.col("url").alias("doc_id"), F.col("rep").alias("component"))
+    return (d.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component"))
+            .orderBy("doc_id"))
+
+
+SQL_DOC_COMPONENTS = f"""
+WITH RECURSIVE d AS ({_DUCK_DOCS}),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tset, b.tset))::DOUBLE /
+        (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))
+        >= {_EDGE_TAU}),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+lab(v, rep) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, l.rep FROM lab l JOIN edges e ON l.v = e.a
+  WHERE l.rep < e.b)
+SELECT doc_id, coalesce((SELECT min(rep) FROM lab WHERE v = doc_id), doc_id)
+       AS component
+FROM documents ORDER BY doc_id
+"""
+
+# Note on the oracle CTE: strings are CAST on the Spark side because the
+# shared CC operator propagates min over its key type; ids stay exact.
+
+
+# --- A6/W3: majority-vote mode per group ----------------------------------------
+
+def q_source_mode_lang(spark: SparkSession, sf: str) -> DataFrame:
+    d = read(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    return (d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("source", F.col("lang").alias("modal_lang"),
+                    F.col("cnt").alias("n_docs"))
+            .orderBy("source"))
+
+
+SQL_SOURCE_MODE_LANG = """
+SELECT source, lang AS modal_lang, cnt AS n_docs
+FROM (SELECT source, lang, count(*) AS cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM documents GROUP BY source, lang) t
+WHERE rn = 1 ORDER BY source
+"""
+
+
+QUERIES = {
+    "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
+    "doc_blocking": (q_doc_blocking, SQL_DOC_BLOCKING),
+    "doc_pairs": (q_doc_pairs, SQL_DOC_PAIRS),
+    "doc_pair_features": (q_doc_pair_features, SQL_DOC_PAIR_FEATURES),
+    "doc_jaro_winkler": (q_doc_jaro_winkler, SQL_DOC_JARO_WINKLER),
+    "doc_idf": (q_doc_idf, SQL_DOC_IDF),
+    "doc_cosine_topk": (q_doc_cosine_topk, SQL_DOC_COSINE_TOPK),
+    "doc_components": (q_doc_components, SQL_DOC_COMPONENTS),
+    "source_mode_lang": (q_source_mode_lang, SQL_SOURCE_MODE_LANG),
+}

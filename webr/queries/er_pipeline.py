@@ -1,0 +1,49 @@
+"""Full ER-pipeline queries on the deterministic synthetic pages corpus
+(FIXTURES.md). Not SQL-expressible (stateful multi-stage + iterative CC +
+python string kernels) => no oracle_sql entries; the driver records
+rows-only checks. The REAL correctness gate for these is tests/ — exact
+parity against the NumPy oracle, bitwise scores included."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from webr import schema
+from webr.engine import Pipeline
+from webr.synth import generate_pages, pages_to_pandas
+
+_SEED = 42
+_N_ENTITIES = 12
+_PAGES_PER_ENTITY = 12
+
+
+def _run(spark: SparkSession) -> dict:
+    pages_pd = pages_to_pandas(generate_pages(
+        n_entities=_N_ENTITIES, pages_per_entity=_PAGES_PER_ENTITY,
+        seed=_SEED))
+    pages = spark.createDataFrame(
+        pages_pd[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    wh = os.path.join(tempfile.gettempdir(), "webr_entry_wh")
+    return Pipeline(spark, wh, input_id=f"entry-{_SEED}").run(pages)
+
+
+def q_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return _run(spark)["clusters"].orderBy("url")
+
+
+def q_er_entities(spark: SparkSession, sf: str) -> DataFrame:
+    return (_run(spark)["entities"]
+            .select("cluster_id", "canonical_name", "last", "first_initial",
+                    "n_members", F.col("hosts").alias("top_hosts"))
+            .orderBy("cluster_id"))
+
+
+QUERIES = {
+    "er_pipeline_clusters": (q_er_clusters, None),
+    "er_pipeline_entities": (q_er_entities, None),
+}

@@ -1,0 +1,202 @@
+"""Generic relational coverage queries (SURVEY §2.1-§2.6 operator families
+exercised on the driver's TPC-H-ish tables): scans+filters+projections,
+equi-joins with broadcast dims, aggregations, windows/top-k, set ops,
+sessionization (the batch analog of the streaming surface).
+
+Each entry: queries()[name] -> Spark DataFrame; oracle_sql()[name] -> the
+ANSI SQL DuckDB runs on the same parquet views. Column names/aliases match
+exactly on both sides (driver hashes values under sorted column names)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from webr.queries.common import read
+
+
+# --- Q1-style aggregation (A-family: partial aggs, P-family pushdown) -------
+
+def q_lineitem_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> groupBy two cols -> 6 aggregates.
+    Filter + column pruning push to the parquet scan (checked in bench)."""
+    li = read(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("2001-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc,
+       round(avg(l_quantity), 4)                          AS avg_qty,
+       round(avg(l_discount), 4)                          AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- multi-join with broadcast dims (J-family) -------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region: small dims broadcast
+    explicitly (SURVEY §4 broadcast rule)."""
+    orders = read(spark, sf, "orders")
+    cust = read(spark, sf, "customer")
+    nation = read(spark, sf, "nation")
+    region = read(spark, sf, "region")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("region_name", "nation_name"))
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region_name, nation_name
+"""
+
+
+# --- window top-k per group (W1/W3) ------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"), "rk")
+            .orderBy("o_custkey", "rk"))
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+             AS rk
+      FROM orders) t
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# --- semi/anti join (SO-family analog; ref left_anti removal P3) -------------
+
+def q_parts_never_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join: parts with no shipments in an early window (non-empty at
+    every sf, unlike the all-time variant)."""
+    part = read(spark, sf, "part")
+    li = (read(spark, sf, "lineitem")
+          .where(F.col("l_shipdate") < F.lit("2000-03-01")))
+    return (part.join(li.select("l_partkey").distinct(),
+                      part.p_partkey == F.col("l_partkey"), "left_anti")
+            .select("p_partkey", "p_name")
+            .orderBy("p_partkey"))
+
+
+SQL_PARTS_NEVER_ORDERED = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate < DATE '2000-03-01')
+ORDER BY p_partkey
+"""
+
+
+# --- sessionization (streaming-analog batch op; guide "Common OLAP") ---------
+
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessions = gaps > 30 min per user: lag + cumulative sum of
+    gap-breaks. Batch analog of session_window in streaming (§2.10)."""
+    ev = read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; go through TIMESTAMP (session tz = UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_no",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .orderBy("user_id", "session_no"))
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, session_no, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+# --- tumbling-window aggregation (streaming-analog; §2.10) --------------------
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read(spark, sf, "events")
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("hour", "event_type"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+QUERIES = {
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "top_orders_per_customer": (q_top_orders_per_customer,
+                                SQL_TOP_ORDERS_PER_CUSTOMER),
+    "parts_never_ordered": (q_parts_never_ordered, SQL_PARTS_NEVER_ORDERED),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+}

@@ -233,11 +233,13 @@ def jaro(a: str, b: str) -> float:
 
 
 def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
-    """Standard Winkler boost (common prefix <=4) applied unconditionally,
-    matching jellyfish.jaro_winkler used by the reference
-    (classifier/feature_vector.py:250-251) and DuckDB's
-    jaro_winkler_similarity."""
+    """Standard Winkler: prefix boost (common prefix <=4) applied only when
+    jaro > 0.7 (the boost threshold) — the definition used by jellyfish
+    (the reference's JW, classifier/feature_vector.py:250-251) and by
+    DuckDB's jaro_winkler_similarity (verified value-equal in tests)."""
     j = jaro(a, b)
+    if j <= 0.7:
+        return j
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca != cb:
