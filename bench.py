@@ -1,0 +1,176 @@
+"""Bench harness. Default mode: run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Modes:
+  python bench.py                  # headline bench (one JSON line)
+  python bench.py --er-only        # just the ER pipeline (pages/sec)
+  python bench.py --scaling        # run ER pipeline at local[8] and
+                                   # local[32], write BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ER_SCALE = float(os.environ.get("SPARK_GRAFT_ER_SCALE", "5"))
+
+HEADLINE = [
+    "lineitem_agg", "revenue_by_nation", "top_orders_per_customer",
+    "sessionize_events", "events_hourly",
+    "doc_blocking", "doc_pair_features", "doc_cosine_topk",
+    "doc_components", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "quality_score", "fingerprint",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> int:
+    """Force full computation without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _materialize(fn(spark, SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_er_pipeline(spark) -> dict:
+    """Full ER pipeline on the deterministic synthetic corpus at
+    ER_SCALE; returns wall seconds + pages/sec (the north metric)."""
+    from webr import schema
+    from webr.engine import Pipeline
+    from webr.synth import generate_pages, pages_to_pandas
+
+    pages_pd = pages_to_pandas(generate_pages(seed=42, scale=ER_SCALE))
+    n_pages = len(pages_pd)
+    pages = spark.createDataFrame(
+        pages_pd[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES).repartition(CPUS * 2)
+    wh = tempfile.mkdtemp(prefix="webr_bench_wh_")
+    try:
+        t0 = time.monotonic()
+        out = Pipeline(spark, wh, input_id=f"bench-{ER_SCALE}").run(pages)
+        n_clusters = out["entities"].count()
+        wall = time.monotonic() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "er_pipeline_sec": round(wall, 3),
+        "er_pages": n_pages,
+        "er_clusters": int(n_clusters),
+        "pages_per_sec": round(n_pages / wall, 2),
+    }
+
+
+def _make_spark(master: str):
+    from webr.session import get_spark
+    spark = get_spark(app="bench", master=master,
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # JVM warmup
+    return spark
+
+
+def main_default() -> None:
+    spark = _make_spark(f"local[{CPUS}]")
+    queries = bench_queries(spark)
+    er = bench_er_pipeline(spark)
+    queries["er_pipeline"] = er["er_pipeline_sec"]
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        "er_pages": er["er_pages"],
+        "er_pages_per_sec": er["pages_per_sec"],
+    }))
+
+
+def main_er_only() -> None:
+    spark = _make_spark(f"local[{CPUS}]")
+    er = bench_er_pipeline(spark)
+    print(json.dumps(er))
+
+
+def main_scaling() -> None:
+    """north_rule scaling evidence: same ER job at N=8 and 4N=32 cores
+    (sandbox stand-in for N vs 4N executors), efficiency =
+    throughput(4N) / (4 * throughput(N))."""
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ,
+                   SPARK_GRAFT_CPUS=str(cores),
+                   WEBR_SHUFFLE_PARTITIONS=str(max(cores, 8)))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--er-only"],
+            capture_output=True, text=True, env=env, timeout=3600)
+        line = [ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+    t8 = results[8]["pages_per_sec"]
+    t32 = results[32]["pages_per_sec"]
+    eff = round(t32 / (4 * t8), 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput & scaling
+
+Deterministic synthetic corpus (seed=42, scale={ER_SCALE},
+{results[8]['er_pages']} pages), full ER pipeline
+(extract → blocking → pair scoring → CC clustering → entities),
+fresh warehouse per run, single-JVM local mode as the sandbox stand-in
+for N vs 4N executors (north_rule).
+
+| config | wall (s) | pages/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]['er_pipeline_sec']} | {t8} |
+| local[32] (4N) | {results[32]['er_pipeline_sec']} | {t32} |
+
+**Scaling efficiency N→4N = throughput(4N) / (4 × throughput(N)) =
+{eff}** (target ≥ 0.8, BASELINE.json `north_rule`).
+
+Clusters produced: {results[32]['er_clusters']} (identical at both
+parallelism levels; cluster equality is asserted by
+tests/test_pipeline.py::test_partition_invariance).
+""")
+    print(json.dumps({"efficiency": eff, "n8": results[8],
+                      "n32": results[32]}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--er-only" in sys.argv:
+        main_er_only()
+    else:
+        main_default()

@@ -1,0 +1,116 @@
+"""Streaming ingest, ANN similarity, multimodal plumbing."""
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# --- streaming ---------------------------------------------------------------
+
+def test_streaming_ingest_and_window_counts(spark, corpus_pd):
+    from webr import schema
+    from webr.streaming import ingest_to_staging, windowed_host_counts
+
+    d = tempfile.mkdtemp(prefix="webr_stream_")
+    in_dir = os.path.join(d, "in")
+    staging = os.path.join(d, "staging")
+    ckpt = os.path.join(d, "ckpt")
+    pages = spark.createDataFrame(
+        corpus_pd[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    pages.repartition(4).write.parquet(in_dir)
+
+    q = ingest_to_staging(spark, in_dir, staging, ckpt)
+    q.awaitTermination(120)
+    staged = spark.read.parquet(staging)
+    assert staged.count() == len(corpus_pd)
+    assert "_epoch" in staged.columns
+
+    # re-run with same checkpoint: no duplicate ingestion (exactly-once)
+    q2 = ingest_to_staging(spark, in_dir, staging, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(staging).count() == len(corpus_pd)
+
+    # windowed aggregation parity with the batch equivalent
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401
+    stream = (spark.readStream.schema(schema.PAGES).parquet(in_dir))
+    from webr.streaming import windowed_host_counts as whc
+    agg = whc(stream)
+    mq = (agg.writeStream.outputMode("complete")
+          .format("memory").queryName("hostcounts")
+          .trigger(availableNow=True).start())
+    mq.awaitTermination(120)
+    got = spark.sql(
+        "SELECT sum(n_pages) AS n FROM hostcounts").collect()[0]["n"]
+    assert got == len(corpus_pd)
+
+
+# --- similarity: LSH vs brute force ------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings_df):
+    from webr.similarity import brute_force_topk, lsh_topk
+    queries = (embeddings_df.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    exact = brute_force_topk(embeddings_df, queries, k=5).toPandas()
+    approx = lsh_topk(embeddings_df, queries, dim=64, k=5,
+                      n_tables=6, n_bits=4, probe_hamming=1).toPandas()
+    exact_sets = exact.groupby("q_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set()))
+               / len(exact_sets[q]) for q in exact_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_runs_and_ranks(spark, embeddings_df):
+    from webr.similarity import ivf_topk
+    queries = (embeddings_df.where(F.col("vec_id") % 250 == 0)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    res = ivf_topk(embeddings_df, queries, dim=64, k=3).toPandas()
+    assert set(res.columns) == {"q_id", "vec_id", "cosine", "rk"}
+    assert (res.groupby("q_id")["rk"].max() <= 3).all()
+    assert len(res) > 0
+
+
+# --- multimodal ---------------------------------------------------------------
+
+def test_multimodal_meta_and_frames(spark, corpus_pd):
+    from webr import schema
+    from webr.multimodal import (extract_media_meta, pages_as_media,
+                                 sample_frames)
+    pages = spark.createDataFrame(
+        corpus_pd.head(60)[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    media = pages_as_media(pages)
+    meta = extract_media_meta(media).toPandas()
+    assert len(meta) == 60
+    assert (meta.n_bytes > 0).all()
+    assert meta.sha256.str.len().eq(64).all()
+    assert set(meta.kind) <= {"image", "audio", "video"}
+    assert (meta[meta.kind == "image"].n_frames == 1).all()
+
+    frames = sample_frames(media, every_n=8).toPandas()
+    assert (frames.frame_no % 8 == 0).all()
+    assert frames.frame.map(len).eq(32).all()
+    # deterministic: same input -> same frames
+    frames2 = sample_frames(media, every_n=8).toPandas()
+    assert frames.sort_values(["media_id", "frame_no"]).frame.map(
+        bytes.hex).tolist() == frames2.sort_values(
+        ["media_id", "frame_no"]).frame.map(bytes.hex).tolist()
+
+
+def test_multimodal_raise_stub(spark, corpus_pd):
+    from webr import schema
+    from webr.multimodal import extract_media_meta, pages_as_media
+    pages = spark.createDataFrame(
+        corpus_pd.head(4)[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    with pytest.raises(Exception, match="codec"):
+        extract_media_meta(pages_as_media(pages),
+                           decode_stub="raise").collect()

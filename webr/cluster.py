@@ -1,46 +1,82 @@
-"""Distributed transitive clustering: iterative hash-min connected
-components over the edge DataFrame (SURVEY §2.8 C3 — with minPts=2 the
-reference's DBSCAN is connected components; GraphFrames is unavailable, so
-this is a hand-rolled min-label propagation with per-iteration
-localCheckpoint to cut lineage, SURVEY §7.4 item 4)."""
+"""Distributed transitive clustering: connected components via a
+union-find reduction ladder (SURVEY §2.8 C3 — with minPts=2 the
+reference's DBSCAN is connected components; GraphFrames is unavailable,
+so this is hand-rolled, SURVEY §7.4 item 4).
+
+Algorithm: each partition runs union-find over its edges and emits its
+spanning forest as (vertex -> local min-root) edges — at most one edge per
+vertex, so each pass reduces the edge list to <= |V_partition| rows.
+Partitions are then coalesced 8:1 and the pass repeats; the final single
+partition resolves the global forest. Union always roots at the MINIMUM
+id, so the final representative is the component min — matching the
+oracle's union-by-min exactly, independent of partitioning and order.
+
+Why not iterative hash-min / star-contraction DataFrame loops: profiling
+showed sorted-neighborhood mega-block graphs (bounded-degree band graphs)
+contract only ~20% per round, and Spark-side per-iteration overhead grows
+with accumulated checkpoint state — the tail iterations dominated wall
+time. The reduction ladder does O(log_8 P) passes of pure mapPartitions
+work with total I/O O(E + V log P).
+
+Scale note (10^12 docs): the ladder's last partition must hold the
+remaining forest (one entry per linked vertex). Web-scale entity graphs
+reduce enormously (components are entity-sized), and the coalesce factor
+bounds per-pass partition payload; if the final forest still exceeded one
+task's memory, shard the final pass by component fingerprint and iterate —
+the code isolates that in `_resolve`.
+"""
 
 from __future__ import annotations
+
+from typing import Iterable, Iterator
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _forest(rows: Iterable) -> Iterator[tuple]:
+    """Union-find over an edge iterator; emit (vertex, root) for every
+    vertex seen. Roots are component minima (union-by-min + full path
+    compression on emit)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    for v in parent:
+        yield (v, find(v))
+
+
+def connected_components(edges: DataFrame, fanin: int = 8) -> DataFrame:
     """edges: (url_1, url_2). Returns (url, rep) for every url that appears
-    in an edge; rep = lexicographic min url of its component (matches the
-    oracle's union-by-min-url exactly)."""
-    both = (edges.select(F.col("url_1").alias("src"),
-                         F.col("url_2").alias("dst"))
-            .union(edges.select(F.col("url_2").alias("src"),
-                                F.col("url_1").alias("dst"))))
-    both = both.repartition("src").localCheckpoint()
-    labels = (both.select(F.col("src").alias("url"))
-              .distinct()
-              .withColumn("rep", F.col("url"))
-              .localCheckpoint())
-    for _ in range(max_iter):
-        nbr_min = (both.join(labels, both.dst == labels.url)
-                   .groupBy("src")
-                   .agg(F.min("rep").alias("nbr_rep")))
-        new_labels = (labels.join(nbr_min, labels.url == nbr_min.src, "left")
-                      .select(
-                          "url",
-                          F.least("rep", F.coalesce("nbr_rep", "rep"))
-                          .alias("rep"),
-                          (F.col("rep") != F.least(
-                              "rep", F.coalesce("nbr_rep", "rep")))
-                          .cast("int").alias("changed")))
-        new_labels = new_labels.localCheckpoint()
-        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = new_labels.drop("changed")
-        if changed == 0:
-            break
-    return labels
+    in an edge; rep = min id of its component."""
+    spark = edges.sparkSession
+    first = edges.schema.fields[0].dataType.simpleString()
+    rdd = edges.rdd.map(lambda r: (r[0], r[1]))
+    # pass 0 keeps the input parallelism; subsequent passes fan in
+    rdd = rdd.mapPartitions(_forest)
+    while rdd.getNumPartitions() > 1:
+        n = rdd.getNumPartitions()
+        rdd = rdd.coalesce(max(1, n // fanin)).mapPartitions(_forest)
+    out = rdd.map(lambda t: Row(url=t[0], rep=t[1]))
+    return spark.createDataFrame(out, f"url {first}, rep {first}")
 
 
 def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
@@ -48,7 +84,6 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     cluster_id 0 (ref clustering/dbscan.py:137-139); linked components get
     dense ids 1..K by sorted representative (deterministic; enumeration via
     sorted zipWithIndex, not a single-partition window, so it scales)."""
-    spark = mentions.sparkSession
     labels = connected_components(edges)
     reps = labels.select("rep").distinct()
     rep_ids = (reps.orderBy("rep").rdd

@@ -26,11 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from webr import schema, spec
 from webr.catalog import Warehouse, fingerprint
 from webr.cluster import label_clusters
-from webr.features import score_pairs
+from webr.features import score_pairs, weight_arrays
 from webr.mentions import derive_mentions
 
-SIDE_COLS = ["doc_id", "name_norm", "first", "middle", "last",
-             "title_toks", "body_toks", "host", "idf_map"]
+SIDE_COLS = [f.name for f in schema.MENTION_FEATS.fields if f.name != "url"]
 
 
 # --------------------------------------------------------------------------
@@ -59,17 +58,32 @@ def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
     return counts.mapInPandas(add_idf, schema=schema.IDF)
 
 
-def build_mentions_idf(mentions: DataFrame, idf: DataFrame) -> DataFrame:
+def build_mention_feats(mentions: DataFrame, idf: DataFrame) -> DataFrame:
+    """Slim per-mention pair-kernel payload with PRECOMPUTED sorted tf-idf
+    weight arrays + norm (weight_arrays, shared with the oracle). The idf
+    values arrive via a distributed token join — never a driver dict."""
     exploded = (mentions.select("url", F.explode("body_toks").alias("token"))
                 .distinct())
     maps = (exploded.join(idf.select("token", "idf"), "token")
             .groupBy("url")
             .agg(F.map_from_entries(
                 F.collect_list(F.struct("token", "idf"))).alias("idf_map")))
-    return (mentions.join(maps, "url", "left")
-            .withColumn("idf_map", F.coalesce(
-                "idf_map",
-                F.from_json(F.lit("{}"), "map<string,double>"))))
+    slim = mentions.select(
+        "url", "doc_id", "host", "first", "middle", "last", "name_norm",
+        "title_toks", "body_toks").join(maps, "url", "left")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrays = [
+                weight_arrays(list(toks), m if isinstance(m, dict) else {})
+                for toks, m in zip(pdf["body_toks"], pdf["idf_map"])]
+            pdf = pdf.drop(columns=["body_toks", "idf_map"])
+            pdf["w_toks"] = [a[0] for a in arrays]
+            pdf["w_vals"] = [a[1] for a in arrays]
+            pdf["w_norm"] = [a[2] for a in arrays]
+            yield pdf[[f.name for f in schema.MENTION_FEATS.fields]]
+
+    return slim.mapInPandas(gen, schema=schema.MENTION_FEATS)
 
 
 def build_pairs(mentions: DataFrame) -> DataFrame:
@@ -110,8 +124,8 @@ def build_pairs(mentions: DataFrame) -> DataFrame:
             .agg(F.min("bk").alias("block_key")))
 
 
-def attach_sides(pairs: DataFrame, mentions_idf: DataFrame) -> DataFrame:
-    m = mentions_idf.select("url", *SIDE_COLS)
+def attach_sides(pairs: DataFrame, mention_feats: DataFrame) -> DataFrame:
+    m = mention_feats.select("url", *SIDE_COLS)
     m1 = m.select(F.col("url").alias("url_1"),
                   *[F.col(c).alias(f"{c}_1") for c in SIDE_COLS])
     m2 = m.select(F.col("url").alias("url_2"),
@@ -130,13 +144,13 @@ def build_pair_scores(pairs_sided: DataFrame) -> DataFrame:
     return pairs_sided.mapInPandas(gen, schema=schema.PAIR_SCORES)
 
 
-def build_entities(mentions_idf: DataFrame, idf: DataFrame,
+def build_entities(mentions: DataFrame, idf: DataFrame,
                    clusters: DataFrame,
                    profile_top: int = 256) -> DataFrame:
     """Canonical record per cluster (ref import_clusters.py:86-194, A6/W3):
     majority-vote name + top-3 hosts + top-N tf-idf profile tokens."""
     members = (clusters.where(~F.col("is_noise"))
-               .join(mentions_idf, "url"))
+               .join(mentions, "url"))
 
     def mode_of(col: str, alias: str) -> DataFrame:
         w = Window.partitionBy("cluster_id").orderBy(
@@ -203,7 +217,7 @@ class Pipeline:
     when the input data changes (e.g. path + row count); every stage
     snapshot fingerprints (scoring spec, input, upstream snapshots)."""
 
-    STAGES = ["mentions", "idf", "mentions_idf", "pairs", "pair_scores",
+    STAGES = ["mentions", "idf", "mention_feats", "pairs", "pair_scores",
               "clusters", "entities"]
 
     def __init__(self, spark: SparkSession, warehouse_root: str,
@@ -227,10 +241,10 @@ class Pipeline:
                        lambda: build_idf(mentions, n_mentions),
                        lineage={"mentions": s_m})
 
-        s_mi = self.snap("mentions_idf", s_m, s_idf)
-        mentions_idf = wh.stage(
-            "mentions_idf", s_mi,
-            lambda: build_mentions_idf(mentions, idf),
+        s_mi = self.snap("mention_feats", s_m, s_idf)
+        mention_feats = wh.stage(
+            "mention_feats", s_mi,
+            lambda: build_mention_feats(mentions, idf),
             lineage={"mentions": s_m, "idf": s_idf})
 
         s_p = self.snap("pairs", s_m)
@@ -240,8 +254,8 @@ class Pipeline:
         s_ps = self.snap("pair_scores", s_p, s_mi)
         pair_scores = wh.stage(
             "pair_scores", s_ps,
-            lambda: build_pair_scores(attach_sides(pairs, mentions_idf)),
-            lineage={"pairs": s_p, "mentions_idf": s_mi})
+            lambda: build_pair_scores(attach_sides(pairs, mention_feats)),
+            lineage={"pairs": s_p, "mention_feats": s_mi})
 
         s_c = self.snap("clusters", s_ps)
         clusters = wh.stage(
@@ -251,14 +265,14 @@ class Pipeline:
                 pair_scores.where("is_edge").select("url_1", "url_2")),
             lineage={"pair_scores": s_ps})
 
-        s_e = self.snap("entities", s_c, s_mi, s_idf)
+        s_e = self.snap("entities", s_c, s_m, s_idf)
         entities = wh.stage(
             "entities", s_e,
-            lambda: build_entities(mentions_idf, idf, clusters),
-            lineage={"clusters": s_c, "mentions_idf": s_mi, "idf": s_idf})
+            lambda: build_entities(mentions, idf, clusters),
+            lineage={"clusters": s_c, "mentions": s_m, "idf": s_idf})
 
         return {
-            "mentions": mentions, "idf": idf, "mentions_idf": mentions_idf,
+            "mentions": mentions, "idf": idf, "mention_feats": mention_feats,
             "pairs": pairs, "pair_scores": pair_scores,
             "clusters": clusters, "entities": entities,
         }

@@ -33,30 +33,46 @@ FEATURE_COLUMNS = [
 ]
 
 
-def tfidf_weights(tokens: list[str], idf: dict | None) -> dict:
-    """token -> tf * idf (missing token -> 0.0 weight, ref F18
-    util/utils.py:40 / classifier/feature_vector.py:36)."""
+def weight_arrays(tokens: list[str],
+                  idf: dict | None) -> tuple[list[str], list[float], float]:
+    """-> (sorted tokens, tf*idf values aligned, L2 norm). Computed ONCE per
+    mention (engine: in the mention_feats stage; oracle: attach step), so
+    pair scoring never rebuilds dicts. Missing token -> 0.0 weight (ref F18
+    util/utils.py:40 / classifier/feature_vector.py:36). Norm accumulates in
+    sorted-token order on both sides -> bitwise-identical float64."""
     if idf is None:
         idf = {}
     tf: dict[str, int] = {}
     for t in tokens:
         tf[t] = tf.get(t, 0) + 1
-    return {t: c * idf.get(t, 0.0) for t, c in tf.items()}
+    toks = sorted(tf)
+    vals = [tf[t] * idf.get(t, 0.0) for t in toks]
+    acc = 0.0
+    for v in vals:
+        acc += v * v
+    return toks, vals, math.sqrt(acc)
 
 
-def sparse_cosine(wa: dict, wb: dict) -> float:
-    """L2-normalized dot over key intersection; 0.0 if either norm is 0
-    (ref classifier/feature_vector_bow.py:23-60). Deterministic float64:
-    sorted-key accumulation on both sides."""
-    na = math.sqrt(sum(wa[k] * wa[k] for k in sorted(wa)))
-    nb = math.sqrt(sum(wb[k] * wb[k] for k in sorted(wb)))
-    if na == 0.0 or nb == 0.0:
+def sparse_cosine_sorted(t1, v1, n1: float, t2, v2, n2: float) -> float:
+    """L2-normalized dot over the intersection of two sorted token arrays;
+    0.0 if either norm is 0 (ref classifier/feature_vector_bow.py:23-60).
+    Merge accumulates in sorted-token order -> deterministic float64."""
+    if n1 == 0.0 or n2 == 0.0:
         return 0.0
-    common = sorted(wa.keys() & wb.keys())
+    i = j = 0
+    l1, l2 = len(t1), len(t2)
     dot = 0.0
-    for k in common:
-        dot += wa[k] * wb[k]
-    return dot / (na * nb)
+    while i < l1 and j < l2:
+        a, b = t1[i], t2[j]
+        if a == b:
+            dot += v1[i] * v2[j]
+            i += 1
+            j += 1
+        elif a < b:
+            i += 1
+        else:
+            j += 1
+    return dot / (n1 * n2)
 
 
 def host_similarity(ha: str, hb: str) -> float:
@@ -72,10 +88,10 @@ def _sigmoid(x: float) -> float:
 
 def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     """Batched kernel. Input columns required (suffix _1/_2 per side):
-    url, doc_id, name_norm, first, middle, last, title_toks, body_toks,
-    host, idf_map (token->idf for that mention's tokens — attached via a
-    distributed join in the engine, so no driver-side global vocabulary is
-    ever collected; SURVEY §4 broadcast-dict note, scaled up).
+    url, doc_id, name_norm, first, middle, last, title_toks, host, and the
+    precomputed tf-idf arrays w_toks/w_vals/w_norm (built by weight_arrays
+    via a distributed idf join in the engine — no driver-side global
+    vocabulary is ever collected; SURVEY §4 broadcast-dict note, scaled up).
     Returns input + FEATURE_COLUMNS."""
     n = len(pairs)
     out = {c: [0.0] * n for c in
@@ -88,8 +104,9 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     cols = {c: pairs[c].tolist() for c in (
         "doc_id_1", "doc_id_2", "name_norm_1", "name_norm_2",
         "first_1", "first_2", "middle_1", "middle_2", "last_1", "last_2",
-        "title_toks_1", "title_toks_2", "body_toks_1", "body_toks_2",
-        "host_1", "host_2", "idf_map_1", "idf_map_2")}
+        "title_toks_1", "title_toks_2", "host_1", "host_2",
+        "w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
+        "w_norm_1", "w_norm_2")}
 
     for i in range(n):
         same_doc = cols["doc_id_1"][i] == cols["doc_id_2"][i]
@@ -104,9 +121,9 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
         sxa, sxb = soundex(cols["last_1"][i]), soundex(cols["last_2"][i])
         sx = 1.0 if (sxa and sxa == sxb) else 0.0
         tj = jaccard(set(cols["title_toks_1"][i]), set(cols["title_toks_2"][i]))
-        bc = sparse_cosine(
-            tfidf_weights(list(cols["body_toks_1"][i]), cols["idf_map_1"][i]),
-            tfidf_weights(list(cols["body_toks_2"][i]), cols["idf_map_2"][i]))
+        bc = sparse_cosine_sorted(
+            cols["w_toks_1"][i], cols["w_vals_1"][i], cols["w_norm_1"][i],
+            cols["w_toks_2"][i], cols["w_vals_2"][i], cols["w_norm_2"][i])
         hs = host_similarity(cols["host_1"][i], cols["host_2"][i])
         raw = (spec.W_NAME_JW * jw + spec.W_SOUNDEX * sx
                + spec.W_TITLE_JAC * tj + spec.W_BODY_COS * bc

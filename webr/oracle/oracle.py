@@ -85,17 +85,22 @@ def enumerate_pairs(mentions: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def attach_idf_maps(mentions: pd.DataFrame, idf: dict) -> pd.DataFrame:
-    """Per-mention token->idf map (the oracle analog of the engine's
-    distributed idf join — no global dict reaches the kernel)."""
+def attach_weight_arrays(mentions: pd.DataFrame, idf: dict) -> pd.DataFrame:
+    """Per-mention sorted tf-idf arrays + norm (the oracle analog of the
+    engine's distributed idf join + mention_feats stage — no global dict
+    reaches the kernel)."""
+    from webr.features import weight_arrays
     m = mentions.copy()
-    m["idf_map"] = [{t: idf[t] for t in set(toks)} for toks in m["body_toks"]]
+    arrays = [weight_arrays(list(toks), idf) for toks in m["body_toks"]]
+    m["w_toks"] = [a[0] for a in arrays]
+    m["w_vals"] = [a[1] for a in arrays]
+    m["w_norm"] = [a[2] for a in arrays]
     return m
 
 
 def attach_sides(pairs: pd.DataFrame, mentions: pd.DataFrame) -> pd.DataFrame:
     side_cols = ["url", "doc_id", "name_norm", "first", "middle", "last",
-                 "title_toks", "body_toks", "host", "idf_map"]
+                 "title_toks", "host", "w_toks", "w_vals", "w_norm"]
     m = mentions[side_cols]
     p = pairs.merge(m.add_suffix("_1"), left_on="url_1", right_on="url_1")
     p = p.merge(m.add_suffix("_2"), left_on="url_2", right_on="url_2")
@@ -137,7 +142,7 @@ def run_oracle(pages: pd.DataFrame) -> OracleResult:
     mentions = derive_mentions(pages)
     idf = build_idf(mentions)
     pairs = enumerate_pairs(mentions)
-    pairs = attach_sides(pairs, attach_idf_maps(mentions, idf))
+    pairs = attach_sides(pairs, attach_weight_arrays(mentions, idf))
     scored = score_pairs(pairs) if len(pairs) else pairs.assign(
         score=[], is_edge=[])
     edges = list(zip(scored.loc[scored["is_edge"], "url_1"],

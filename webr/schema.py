@@ -38,14 +38,24 @@ IDF = StructType([
     StructField("idf", DoubleType(), False),
 ])
 
-# mention sides attached to a candidate pair
-_side = [
-    ("doc_id", StringType()), ("name_norm", StringType()),
-    ("first", StringType()), ("middle", StringType()),
-    ("last", StringType()), ("title_toks", ArrayType(StringType())),
-    ("body_toks", ArrayType(StringType())), ("host", StringType()),
-    ("idf_map", MapType(StringType(), DoubleType())),
-]
+# slim per-mention payload the pair kernel needs: names for compat/JW,
+# title tokens for Jaccard, precomputed sorted tf-idf arrays for cosine
+MENTION_FEATS = StructType([
+    StructField("url", StringType(), False),
+    StructField("doc_id", StringType(), True),
+    StructField("host", StringType(), True),
+    StructField("first", StringType(), True),
+    StructField("middle", StringType(), True),
+    StructField("last", StringType(), True),
+    StructField("name_norm", StringType(), True),
+    StructField("title_toks", ArrayType(StringType()), True),
+    StructField("w_toks", ArrayType(StringType()), True),
+    StructField("w_vals", ArrayType(DoubleType()), True),
+    StructField("w_norm", DoubleType(), True),
+])
+
+_side = [(f.name, f.dataType) for f in MENTION_FEATS.fields
+         if f.name != "url"]
 
 PAIRS = StructType(
     [StructField("url_1", StringType(), False),
@@ -54,20 +64,21 @@ PAIRS = StructType(
     + [StructField(f"{n}_{s}", t, True) for s in ("1", "2") for n, t in _side]
 )
 
-PAIR_SCORES = StructType(
-    PAIRS.fields + [
-        StructField("name_jw", DoubleType(), True),
-        StructField("soundex_agree", DoubleType(), True),
-        StructField("title_jac", DoubleType(), True),
-        StructField("body_cos", DoubleType(), True),
-        StructField("host_sim", DoubleType(), True),
-        StructField("compat", BooleanType(), True),
-        StructField("same_doc", BooleanType(), True),
-        StructField("raw", DoubleType(), True),
-        StructField("score", DoubleType(), True),
-        StructField("is_edge", BooleanType(), True),
-    ]
-)
+PAIR_SCORES = StructType([
+    StructField("url_1", StringType(), False),
+    StructField("url_2", StringType(), False),
+    StructField("block_key", StringType(), True),
+    StructField("name_jw", DoubleType(), True),
+    StructField("soundex_agree", DoubleType(), True),
+    StructField("title_jac", DoubleType(), True),
+    StructField("body_cos", DoubleType(), True),
+    StructField("host_sim", DoubleType(), True),
+    StructField("compat", BooleanType(), True),
+    StructField("same_doc", BooleanType(), True),
+    StructField("raw", DoubleType(), True),
+    StructField("score", DoubleType(), True),
+    StructField("is_edge", BooleanType(), True),
+])
 
 CLUSTERS = StructType([
     StructField("url", StringType(), False),

@@ -122,8 +122,8 @@ def generate_pages(n_entities: int = 40, pages_per_entity: int = 50,
             title_toks = rng.sample(e.vocab, 3) + rng.sample(SHARED_VOCAB, 2)
             rng.shuffle(title_toks)
             title = " ".join(title_toks)
-            body_toks = [rng.choice(e.vocab) for _ in range(24)] + \
-                        [rng.choice(SHARED_VOCAB) for _ in range(12)]
+            body_toks = [rng.choice(e.vocab) for _ in range(96)] + \
+                        [rng.choice(SHARED_VOCAB) for _ in range(48)]
             rng.shuffle(body_toks)
             body = " ".join(body_toks)
             url = f"https://{host}/p/{e.last}-{i:06d}"
