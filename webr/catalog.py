@@ -102,4 +102,9 @@ class Warehouse:
         snapshot fingerprint (spec + upstream lineage) changed."""
         if self.has_snapshot(table, snapshot):
             return self.read(table)
-        return self.write(table, build(), snapshot, lineage, partition_by)
+        t0 = time.monotonic()
+        out = self.write(table, build(), snapshot, lineage, partition_by)
+        if os.environ.get("WEBR_STAGE_TIMING"):
+            print(f"[stage] {table}: {time.monotonic() - t0:.2f}s "
+                  f"rows={self.manifest(table)['rows']}", flush=True)
+        return out

@@ -84,7 +84,10 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     cluster_id 0 (ref clustering/dbscan.py:137-139); linked components get
     dense ids 1..K by sorted representative (deterministic; enumeration via
     sorted zipWithIndex, not a single-partition window, so it scales)."""
-    labels = connected_components(edges)
+    # materialize the CC result once — it feeds three consumers below
+    # (rep enumeration, the linked join, and the noise anti-join); without
+    # this the whole union-find ladder re-runs per consumer.
+    labels = connected_components(edges).localCheckpoint(eager=True)
     reps = labels.select("rep").distinct()
     rep_ids = (reps.orderBy("rep").rdd
                .map(lambda r: r[0])

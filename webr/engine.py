@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from webr import schema, spec
 from webr.catalog import Warehouse, fingerprint
 from webr.cluster import label_clusters
-from webr.features import score_pairs, weight_arrays
+from webr.features import score_pairs
 from webr.mentions import derive_mentions
 
 SIDE_COLS = [f.name for f in schema.MENTION_FEATS.fields if f.name != "url"]
@@ -60,30 +60,38 @@ def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
 
 def build_mention_feats(mentions: DataFrame, idf: DataFrame) -> DataFrame:
     """Slim per-mention pair-kernel payload with PRECOMPUTED sorted tf-idf
-    weight arrays + norm (weight_arrays, shared with the oracle). The idf
-    values arrive via a distributed token join — never a driver dict."""
-    exploded = (mentions.select("url", F.explode("body_toks").alias("token"))
-                .distinct())
-    maps = (exploded.join(idf.select("token", "idf"), "token")
-            .groupBy("url")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("token", "idf"))).alias("idf_map")))
+    weight arrays + norm. Fully JVM-side (whole-stage codegen; was the
+    slowest stage as a pandas UDF): tf via explode+groupBy, idf via a
+    distributed token join (never a driver dict), arrays via sorted struct
+    collect, norm via an in-order ``aggregate`` fold. Bitwise-identical to
+    the oracle's ``weight_arrays`` because BOTH accumulate the norm in
+    sorted-token order (IEEE-754 doubles, same order => same bits)."""
+    tf = (mentions.select("url", F.explode("body_toks").alias("token"))
+          .groupBy("url", "token").agg(F.count("*").alias("tf")))
+    w = (tf.join(idf.select("token", "idf"), "token", "left")
+         .select("url", "token",
+                 (F.col("tf") * F.coalesce("idf", F.lit(0.0))).alias("wv")))
+    arrays = (w.groupBy("url")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("token", "wv"))).alias("tw"))
+              .select(
+                  "url",
+                  F.expr("transform(tw, x -> x.token)").alias("w_toks"),
+                  F.expr("transform(tw, x -> x.wv)").alias("w_vals"),
+                  F.expr("sqrt(aggregate(transform(tw, x -> x.wv), 0D, "
+                         "(a, v) -> a + v * v))").alias("w_norm")))
     slim = mentions.select(
         "url", "doc_id", "host", "first", "middle", "last", "name_norm",
-        "title_toks", "body_toks").join(maps, "url", "left")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            arrays = [
-                weight_arrays(list(toks), m if isinstance(m, dict) else {})
-                for toks, m in zip(pdf["body_toks"], pdf["idf_map"])]
-            pdf = pdf.drop(columns=["body_toks", "idf_map"])
-            pdf["w_toks"] = [a[0] for a in arrays]
-            pdf["w_vals"] = [a[1] for a in arrays]
-            pdf["w_norm"] = [a[2] for a in arrays]
-            yield pdf[[f.name for f in schema.MENTION_FEATS.fields]]
-
-    return slim.mapInPandas(gen, schema=schema.MENTION_FEATS)
+        "title_toks")
+    out = (slim.join(arrays, "url", "left")
+           .select("url", "doc_id", "host", "first", "middle", "last",
+                   "name_norm", "title_toks",
+                   F.coalesce("w_toks", F.array().cast("array<string>"))
+                   .alias("w_toks"),
+                   F.coalesce("w_vals", F.array().cast("array<double>"))
+                   .alias("w_vals"),
+                   F.coalesce("w_norm", F.lit(0.0)).alias("w_norm")))
+    return out.select([f.name for f in schema.MENTION_FEATS.fields])
 
 
 def build_pairs(mentions: DataFrame) -> DataFrame:

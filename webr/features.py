@@ -107,6 +107,40 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
         "title_toks_1", "title_toks_2", "host_1", "host_2",
         "w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
         "w_norm_1", "w_norm_2")}
+    # Arrow batches surface array columns as numpy object arrays whose
+    # element access boxes scalars; plain lists make the sorted-merge loop
+    # in sparse_cosine_sorted ~2x faster with bit-identical values.
+    for c in ("w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
+              "title_toks_1", "title_toks_2"):
+        cols[c] = [x if isinstance(x, list) else x.tolist() for x in cols[c]]
+
+    # memo tables: names/hosts repeat heavily across a block's pairs, and
+    # jaro_winkler / soundex / host_similarity are pure + symmetric, so
+    # caching them changes nothing semantically (the oracle runs this same
+    # kernel) while cutting the Python hot loop by the repeat factor.
+    jw_memo: dict = {}
+    sx_memo: dict = {}
+    hs_memo: dict = {}
+
+    def jw_of(a: str, b: str) -> float:
+        k = (a, b) if a <= b else (b, a)
+        v = jw_memo.get(k)
+        if v is None:
+            v = jw_memo[k] = jaro_winkler(k[0], k[1])
+        return v
+
+    def sx_of(s: str) -> str:
+        v = sx_memo.get(s)
+        if v is None:
+            v = sx_memo[s] = soundex(s)
+        return v
+
+    def hs_of(a: str, b: str) -> float:
+        k = (a, b) if a <= b else (b, a)
+        v = hs_memo.get(k)
+        if v is None:
+            v = hs_memo[k] = host_similarity(k[0], k[1])
+        return v
 
     for i in range(n):
         same_doc = cols["doc_id_1"][i] == cols["doc_id_2"][i]
@@ -117,14 +151,14 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
         compat_l[i] = compat
         if same_doc or not compat:
             continue  # hard gates BEFORE expensive features (ref §4 row 3)
-        jw = jaro_winkler(cols["name_norm_1"][i], cols["name_norm_2"][i])
-        sxa, sxb = soundex(cols["last_1"][i]), soundex(cols["last_2"][i])
+        jw = jw_of(cols["name_norm_1"][i], cols["name_norm_2"][i])
+        sxa, sxb = sx_of(cols["last_1"][i]), sx_of(cols["last_2"][i])
         sx = 1.0 if (sxa and sxa == sxb) else 0.0
         tj = jaccard(set(cols["title_toks_1"][i]), set(cols["title_toks_2"][i]))
         bc = sparse_cosine_sorted(
             cols["w_toks_1"][i], cols["w_vals_1"][i], cols["w_norm_1"][i],
             cols["w_toks_2"][i], cols["w_vals_2"][i], cols["w_norm_2"][i])
-        hs = host_similarity(cols["host_1"][i], cols["host_2"][i])
+        hs = hs_of(cols["host_1"][i], cols["host_2"][i])
         raw = (spec.W_NAME_JW * jw + spec.W_SOUNDEX * sx
                + spec.W_TITLE_JAC * tj + spec.W_BODY_COS * bc
                + spec.W_HOST_SIM * hs)

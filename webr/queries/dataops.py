@@ -382,6 +382,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN scale paths (webr.similarity): multi-table sign-LSH bucket join and
+# IVF-flat probe join. Both replace the O(N·Q) cross join with equi-joins on
+# deterministic bucket keys — the 100TB path. Not SQL-expressible compactly
+# => rows-only driver check; recall vs the exact baseline is asserted in
+# tests/test_modules.py.
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from webr.similarity import lsh_topk
+    e = read(spark, sf, "embeddings")
+    q = (e.where(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (lsh_topk(e, q, dim=64, k=5)
+            .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+                    "rk")
+            .orderBy("q_id", "rk"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from webr.similarity import ivf_topk
+    e = read(spark, sf, "embeddings")
+    q = (e.where(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (ivf_topk(e, q, dim=64, k=5)
+            .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+                    "rk")
+            .orderBy("q_id", "rk"))
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
@@ -393,4 +422,6 @@ QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
 }

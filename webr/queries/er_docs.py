@@ -339,6 +339,97 @@ WHERE rn = 1 ORDER BY source
 """
 
 
+# --- A10: blocking-quality metrics RR / PC / F ----------------------------------
+# (ref train_blocking.py:14-49). Truth pairs = same content fingerprint
+# (sorted distinct token set); candidate pairs = same block_key. Everything
+# is exact integer pair-counting; ratios divide identical integers on both
+# engines, so round(x, 6) is an exact cross-engine check.
+
+def q_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    d = (_docs_with_tokens(spark, sf)
+         .select("doc_id", "block_key",
+                 F.md5(F.array_join("tset", " ")).alias("fp")))
+
+    def pair_sum(grouped, alias: str) -> DataFrame:
+        return (grouped.agg(F.count("*").alias("c"))
+                .agg(F.expr("coalesce(sum(c * (c - 1) div 2), 0)")
+                     .alias(alias)))
+
+    tot = d.agg(F.count("*").alias("n_docs"),
+                F.expr("count(*) * (count(*) - 1) div 2")
+                .alias("total_pairs"))
+    cand = pair_sum(d.groupBy("block_key"), "cand_pairs")
+    true = pair_sum(d.groupBy("fp"), "true_pairs")
+    cov = pair_sum(d.groupBy("fp", "block_key"), "covered_pairs")
+    m = tot.crossJoin(cand).crossJoin(true).crossJoin(cov)
+    rr = 1 - F.col("cand_pairs") / F.col("total_pairs")
+    pc = F.col("covered_pairs") / F.greatest(F.col("true_pairs"), F.lit(1))
+    f = F.when(rr + pc > 0, 2 * rr * pc / (rr + pc)).otherwise(F.lit(0.0))
+    return m.select(
+        "n_docs", "total_pairs", "cand_pairs", "true_pairs", "covered_pairs",
+        F.round(rr, 6).alias("rr"), F.round(pc, 6).alias("pc"),
+        F.round(f, 6).alias("f"))
+
+
+SQL_BLOCKING_METRICS = f"""
+WITH d AS (SELECT doc_id, block_key, md5(array_to_string(tset, ' ')) AS fp
+           FROM ({_DUCK_DOCS})),
+tot AS (SELECT count(*) AS n_docs,
+               count(*) * (count(*) - 1) // 2 AS total_pairs FROM d),
+cand AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS cand_pairs
+         FROM (SELECT count(*) AS c FROM d GROUP BY block_key)),
+tr AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS true_pairs
+       FROM (SELECT count(*) AS c FROM d GROUP BY fp)),
+cov AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS covered_pairs
+        FROM (SELECT count(*) AS c FROM d GROUP BY fp, block_key))
+SELECT n_docs, total_pairs, cand_pairs, true_pairs, covered_pairs,
+       round(1 - cand_pairs::DOUBLE / total_pairs, 6) AS rr,
+       round(covered_pairs::DOUBLE / greatest(true_pairs, 1), 6) AS pc,
+       round(CASE WHEN (1 - cand_pairs::DOUBLE / total_pairs)
+                     + covered_pairs::DOUBLE / greatest(true_pairs, 1) > 0
+             THEN 2 * (1 - cand_pairs::DOUBLE / total_pairs)
+                    * (covered_pairs::DOUBLE / greatest(true_pairs, 1))
+                  / ((1 - cand_pairs::DOUBLE / total_pairs)
+                     + covered_pairs::DOUBLE / greatest(true_pairs, 1))
+             ELSE 0.0 END, 6) AS f
+FROM tot, cand, tr, cov
+"""
+
+
+# --- W5: deterministic train/dev/test split --------------------------------------
+# (ref train_rf.py:62-88 shuffles with a fixed seed; at cluster scale the
+# engine-portable analog is a hash split — same rows land in the same split
+# on ANY engine, executor count, or rerun, unlike randomSplit.)
+
+_NIBBLE_SPARK = ("instr('0123456789abcdef', "
+                 "substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+_NIBBLE_DUCK = ("strpos('0123456789abcdef', "
+                "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1")
+
+
+def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = read(spark, sf, "documents").withColumn(
+        "nib", F.expr(_NIBBLE_SPARK))
+    split = (F.when(F.col("nib") <= 11, "train")
+             .when(F.col("nib") <= 13, "dev").otherwise("test"))
+    return (d.select(split.alias("split"), "doc_id", "n_chars")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("split"))
+
+
+SQL_TRAIN_SPLIT = f"""
+SELECT CASE WHEN {_NIBBLE_DUCK} <= 11 THEN 'train'
+            WHEN {_NIBBLE_DUCK} <= 13 THEN 'dev'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "doc_blocking": (q_doc_blocking, SQL_DOC_BLOCKING),
@@ -349,4 +440,6 @@ QUERIES = {
     "doc_cosine_topk": (q_doc_cosine_topk, SQL_DOC_COSINE_TOPK),
     "doc_components": (q_doc_components, SQL_DOC_COMPONENTS),
     "source_mode_lang": (q_source_mode_lang, SQL_SOURCE_MODE_LANG),
+    "blocking_metrics": (q_blocking_metrics, SQL_BLOCKING_METRICS),
+    "train_split": (q_train_split, SQL_TRAIN_SPLIT),
 }

@@ -43,7 +43,29 @@ def q_er_entities(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cluster_id"))
 
 
+def q_record_query_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """C6/J5-J7/A7/W1: incremental record->cluster match. Five corpus pages
+    (deterministic picks) re-submitted as query records against the built
+    entity tables; each must rank its own cluster. Correctness asserted in
+    tests/test_query.py (top-1 == own cluster, no-match returns empty)."""
+    from webr.query import match_records
+    pages_pd = pages_to_pandas(generate_pages(
+        n_entities=_N_ENTITIES, pages_per_entity=_PAGES_PER_ENTITY,
+        seed=_SEED))
+    out = _run(spark)
+    urls = sorted(pages_pd.url)[:: max(len(pages_pd) // 5, 1)][:5]
+    qpages = spark.createDataFrame(
+        pages_pd[pages_pd.url.isin(urls)]
+        [["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    return (match_records(qpages, out["idf"], out["entities"],
+                          out["clusters"], out["mention_feats"])
+            .select("q_url", "cluster_id", "votes", "rank")
+            .orderBy("q_url", "rank"))
+
+
 QUERIES = {
     "er_pipeline_clusters": (q_er_clusters, None),
     "er_pipeline_entities": (q_er_entities, None),
+    "record_query_topk": (q_record_query_topk, None),
 }

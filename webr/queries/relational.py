@@ -191,6 +191,35 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+# --- rollup / grouping sets (scale-path agg the reference lacks; SURVEY
+# §2.4 note: useful for corpus-stats jobs at web scale) -----------------------
+
+def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (priority, status) with exact integer-cents sums
+    (float sums are addition-order-sensitive across engines)."""
+    o = read(spark, sf, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("cents").alias("total_cents"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n_orders", "total_cents")
+            .orderBy("priority", "status"))
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
 QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
@@ -199,4 +228,5 @@ QUERIES = {
     "parts_never_ordered": (q_parts_never_ordered, SQL_PARTS_NEVER_ORDERED),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
 }

@@ -11,7 +11,7 @@ thresholded at EPS like the reference classifier probability
 Anything here changes => goldens change; bump SCORING_VERSION.
 """
 
-SCORING_VERSION = "v1"
+SCORING_VERSION = "v2"  # v2: minhash = affine maps over one base md5/shingle
 
 # clustering thresholds (ref author_disambiguation.py:16-17)
 EPS = 0.85          # edge iff score >= EPS
