@@ -78,6 +78,38 @@ def test_ivf_runs_and_ranks(spark, embeddings_df):
     assert len(res) > 0
 
 
+# --- learned blocking (A11/M4) -------------------------------------------------
+
+def test_learned_blocking_dnf(spark):
+    from webr.blocking_learn import evaluate_scheme, learn_dnf
+    # 400 labeled pairs; pred_good covers most matches tightly, pred_extra
+    # adds the remaining matches plus some noise, pred_all covers everything
+    # (rr=0 => adding it must never help).
+    rows = []
+    for i in range(400):
+        match = i % 10 == 0                      # 40 matches
+        pred_good = match and i % 20 == 0        # half the matches, 0 noise
+        pred_extra = match or (i % 7 == 0)       # all matches + noise
+        rows.append((match, pred_good, pred_extra, True))
+    pairs = spark.createDataFrame(
+        rows, "match boolean, pred_good boolean, pred_extra boolean, "
+              "pred_all boolean")
+    steps = learn_dnf(pairs, ["pred_good", "pred_extra", "pred_all"])
+    assert steps, "learner must pick at least one term"
+    final = steps[-1]
+    assert "pred_all" not in final.predicates     # rr=0 term never helps
+    # F must be monotonically non-decreasing across greedy steps
+    fs = [s.f for s in steps]
+    assert fs == sorted(fs)
+    # the scheme must beat each single weaker predicate it extends
+    ev_extra = evaluate_scheme(pairs, ["pred_extra"])
+    assert final.f >= ev_extra.f
+    assert 0.0 <= final.rr <= 1.0 and 0.0 <= final.pc <= 1.0
+    # sanity of the metric definitions on a known scheme
+    ev_good = evaluate_scheme(pairs, ["pred_good"])
+    assert ev_good.pc == 0.5 and ev_good.rr == 1.0 - 20 / 400
+
+
 # --- multimodal ---------------------------------------------------------------
 
 def test_multimodal_meta_and_frames(spark, corpus_pd):

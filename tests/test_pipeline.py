@@ -131,6 +131,25 @@ def test_entities_canonical(pipeline_out, oracle_result, corpus_pd):
     assert ents.profile.map(lambda m: 0 < len(m) <= 256).all()
 
 
+def test_mention_feats_join_fallback_bitwise(pipeline_out):
+    """The huge-vocab distributed path (_build_mention_feats_join) must be
+    bitwise-identical to the broadcast-dict fast path: same token hash,
+    same sort, same in-order norm fold."""
+    from webr.engine import build_mention_feats
+    mentions = pipeline_out["mentions"]
+    idf = pipeline_out["idf"]
+    fast = (build_mention_feats(mentions, idf, vocab_rows=1)
+            .toPandas().sort_values("url").reset_index(drop=True))
+    slow = (build_mention_feats(mentions, idf, vocab_rows=10**9)
+            .toPandas().sort_values("url").reset_index(drop=True))
+    assert list(fast.url) == list(slow.url)
+    assert all(list(a) == list(b)
+               for a, b in zip(fast.w_toks, slow.w_toks))
+    assert all(list(a) == list(b)      # bitwise float64 equality
+               for a, b in zip(fast.w_vals, slow.w_vals))
+    assert list(fast.w_norm) == list(slow.w_norm)
+
+
 def test_mega_block_bounded(pipeline_out):
     """Skew rule: no block contributes O(n^2) pairs. The mega-host block
     must exist in the corpus and still be bounded in the pair table."""

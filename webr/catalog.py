@@ -73,7 +73,10 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(data)
         out = self.spark.read.parquet(data)
-        n = out.count()
+        # row count from parquet footers (pyarrow metadata) — a full
+        # Spark re-scan per stage was pure flat overhead
+        import pyarrow.dataset as pads
+        n = pads.dataset(data, format="parquet").count_rows()
         man = {
             "table": table,
             "snapshot": snapshot,

@@ -17,6 +17,7 @@ fingerprint, so a killed job resumes from the last complete stage
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from webr import schema, spec
 from webr.catalog import Warehouse, fingerprint
 from webr.cluster import label_clusters
-from webr.features import score_pairs
+from webr.features import score_pairs, weight_arrays
 from webr.mentions import derive_mentions
 
 SIDE_COLS = [f.name for f in schema.MENTION_FEATS.fields if f.name != "url"]
@@ -44,10 +45,15 @@ def build_mentions(pages: DataFrame) -> DataFrame:
 
 
 def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
-    """idf = ln(N/df) (A4/F18). The log runs in Python (math.log) inside an
-    Arrow batch so the doubles are bitwise-identical to the oracle's."""
-    tok = (mentions.select("url", F.explode("body_toks").alias("token"))
-           .distinct())
+    """idf = ln(N/df) (A4/F18). df(token) = #docs containing the token, so
+    per-row ``array_distinct`` FIRST, then explode straight into a token
+    groupBy — partial (map-side) aggregation collapses the stream to one
+    row per vocab term and the shuffle never carries the doc id (this
+    replaced a 90M-row (url, token) distinct that dominated the stage).
+    The log runs in Python (math.log) inside an Arrow batch so the doubles
+    are bitwise-identical to the oracle's."""
+    tok = mentions.select(
+        F.explode(F.array_distinct("body_toks")).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("df"))
 
     def add_idf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -58,25 +64,68 @@ def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
     return counts.mapInPandas(add_idf, schema=schema.IDF)
 
 
-def build_mention_feats(mentions: DataFrame, idf: DataFrame) -> DataFrame:
+# vocab sizes up to this broadcast as a plain dict into the Python pass
+# (zero shuffles); above it, the distributed join fallback runs instead.
+VOCAB_BROADCAST_MAX = int(os.environ.get("WEBR_VOCAB_BROADCAST_MAX",
+                                         "5000000"))
+
+
+def build_mention_feats(mentions: DataFrame, idf: DataFrame,
+                        vocab_rows: int | None = None) -> DataFrame:
     """Slim per-mention pair-kernel payload with PRECOMPUTED sorted tf-idf
-    weight arrays + norm. Fully JVM-side (whole-stage codegen; was the
-    slowest stage as a pandas UDF): tf via explode+groupBy, idf via a
-    distributed token join (never a driver dict), arrays via sorted struct
-    collect, norm via an in-order ``aggregate`` fold. Bitwise-identical to
-    the oracle's ``weight_arrays`` because BOTH accumulate the norm in
-    sorted-token order (IEEE-754 doubles, same order => same bits)."""
+    weight arrays + norm (int64 token ids — see features.token_hash).
+
+    Fast path (vocab fits executor memory): broadcast the idf table as a
+    dict into ONE Arrow mapInPandas pass over mentions calling the shared
+    ``weight_arrays`` kernel — zero shuffles (the reference's module-global
+    idf dict, ref util/utils.py:45-122, done properly as a broadcast
+    variable). Scale path (vocab > VOCAB_BROADCAST_MAX, e.g. 10^12-doc
+    corpora): distributed explode + broadcast-hash token join + sorted
+    struct re-aggregation, bit-identical by construction (same hash, same
+    sort order, same in-order fold)."""
+    if vocab_rows is None:
+        vocab_rows = idf.count()
+    if vocab_rows <= VOCAB_BROADCAST_MAX:
+        idf_map = {r["token"]: r["idf"] for r in
+                   idf.select("token", "idf").collect()}
+        bc = mentions.sparkSession.sparkContext.broadcast(idf_map)
+        slim = mentions.select(
+            "url", "doc_id", "host", "first", "middle", "last", "name_norm",
+            "title_toks", "body_toks")
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            d = bc.value
+            for pdf in batches:
+                arrays = [weight_arrays(list(t), d)
+                          for t in pdf["body_toks"]]
+                pdf = pdf.drop(columns=["body_toks"])
+                pdf["w_toks"] = [a[0] for a in arrays]
+                pdf["w_vals"] = [a[1] for a in arrays]
+                pdf["w_norm"] = [a[2] for a in arrays]
+                yield pdf[[f.name for f in schema.MENTION_FEATS.fields]]
+
+        return slim.mapInPandas(gen, schema=schema.MENTION_FEATS)
+    return _build_mention_feats_join(mentions, idf)
+
+
+def _build_mention_feats_join(mentions: DataFrame,
+                              idf: DataFrame) -> DataFrame:
+    """Distributed fallback for huge vocabularies. JVM twin of
+    ``weight_arrays``: conv(md5) token hash == features.token_hash; struct
+    sort by (hash, weight) == the Python tuple sort; in-order ``aggregate``
+    fold == the Python loop => bitwise-identical float64 arrays."""
+    h = ("cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)")
     tf = (mentions.select("url", F.explode("body_toks").alias("token"))
           .groupBy("url", "token").agg(F.count("*").alias("tf")))
-    w = (tf.join(idf.select("token", "idf"), "token", "left")
-         .select("url", "token",
+    w = (tf.join(F.broadcast(idf.select("token", "idf")), "token", "left")
+         .select("url", F.expr(h).alias("h"),
                  (F.col("tf") * F.coalesce("idf", F.lit(0.0))).alias("wv")))
     arrays = (w.groupBy("url")
               .agg(F.sort_array(F.collect_list(
-                  F.struct("token", "wv"))).alias("tw"))
+                  F.struct("h", "wv"))).alias("tw"))
               .select(
                   "url",
-                  F.expr("transform(tw, x -> x.token)").alias("w_toks"),
+                  F.expr("transform(tw, x -> x.h)").alias("w_toks"),
                   F.expr("transform(tw, x -> x.wv)").alias("w_vals"),
                   F.expr("sqrt(aggregate(transform(tw, x -> x.wv), 0D, "
                          "(a, v) -> a + v * v))").alias("w_norm")))
@@ -86,7 +135,7 @@ def build_mention_feats(mentions: DataFrame, idf: DataFrame) -> DataFrame:
     out = (slim.join(arrays, "url", "left")
            .select("url", "doc_id", "host", "first", "middle", "last",
                    "name_norm", "title_toks",
-                   F.coalesce("w_toks", F.array().cast("array<string>"))
+                   F.coalesce("w_toks", F.array().cast("array<bigint>"))
                    .alias("w_toks"),
                    F.coalesce("w_vals", F.array().cast("array<double>"))
                    .alias("w_vals"),
@@ -249,10 +298,11 @@ class Pipeline:
                        lambda: build_idf(mentions, n_mentions),
                        lineage={"mentions": s_m})
 
+        n_vocab = wh.manifest("idf")["rows"]
         s_mi = self.snap("mention_feats", s_m, s_idf)
         mention_feats = wh.stage(
             "mention_feats", s_mi,
-            lambda: build_mention_feats(mentions, idf),
+            lambda: build_mention_feats(mentions, idf, vocab_rows=n_vocab),
             lineage={"mentions": s_m, "idf": s_idf})
 
         s_p = self.snap("pairs", s_m)

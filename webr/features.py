@@ -18,8 +18,10 @@ compatibility (P6, dao/author.py:75-110) and same-document exclusion
 
 from __future__ import annotations
 
+import hashlib
 import math
 
+import numpy as np
 import pandas as pd
 
 from webr import spec
@@ -33,45 +35,66 @@ FEATURE_COLUMNS = [
 ]
 
 
+_HASH_MEMO: dict[str, int] = {}
+
+
+def token_hash(t: str) -> int:
+    """Deterministic 60-bit token id: int(md5(t)[:15 hex], 16). Memoized
+    (vocab-bounded). JVM twin (engine join fallback):
+    ``conv(substring(md5(token), 1, 15), 16, 10)`` cast to long — identical
+    values, so either side of the engine produces the same arrays. Weight
+    arrays carry these int64 ids instead of token strings: ~2x less pair-
+    join shuffle and faster sorted merges; a cross-token collision
+    (2^-60-ish) merely merges two terms of a cosine."""
+    v = _HASH_MEMO.get(t)
+    if v is None:
+        v = _HASH_MEMO[t] = int(
+            hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+    return v
+
+
 def weight_arrays(tokens: list[str],
-                  idf: dict | None) -> tuple[list[str], list[float], float]:
-    """-> (sorted tokens, tf*idf values aligned, L2 norm). Computed ONCE per
-    mention (engine: in the mention_feats stage; oracle: attach step), so
-    pair scoring never rebuilds dicts. Missing token -> 0.0 weight (ref F18
+                  idf: dict | None) -> tuple[list[int], list[float], float]:
+    """-> (sorted token ids, tf*idf values aligned, L2 norm). Computed ONCE
+    per mention (engine: mention_feats stage; oracle: attach step), so pair
+    scoring never rebuilds dicts. Missing token -> 0.0 weight (ref F18
     util/utils.py:40 / classifier/feature_vector.py:36). Norm accumulates in
-    sorted-token order on both sides -> bitwise-identical float64."""
+    sorted-id order on both sides -> bitwise-identical float64."""
     if idf is None:
         idf = {}
     tf: dict[str, int] = {}
     for t in tokens:
         tf[t] = tf.get(t, 0) + 1
-    toks = sorted(tf)
-    vals = [tf[t] * idf.get(t, 0.0) for t in toks]
+    entries = sorted((token_hash(t), c * idf.get(t, 0.0))
+                     for t, c in tf.items())
+    vals = [v for _, v in entries]
     acc = 0.0
     for v in vals:
         acc += v * v
-    return toks, vals, math.sqrt(acc)
+    return [h for h, _ in entries], vals, math.sqrt(acc)
 
 
 def sparse_cosine_sorted(t1, v1, n1: float, t2, v2, n2: float) -> float:
-    """L2-normalized dot over the intersection of two sorted token arrays;
-    0.0 if either norm is 0 (ref classifier/feature_vector_bow.py:23-60).
-    Merge accumulates in sorted-token order -> deterministic float64."""
+    """L2-normalized dot over the intersection of two sorted token-id
+    arrays; 0.0 if either norm is 0 (ref classifier/
+    feature_vector_bow.py:23-60). The intersection runs in C
+    (np.intersect1d over the sorted unique ids); the dot still accumulates
+    as an in-order Python fold over ascending ids — the SAME order a
+    sorted-merge loop would use, so the float64 result is bit-identical to
+    it and between oracle and engine."""
     if n1 == 0.0 or n2 == 0.0:
         return 0.0
-    i = j = 0
-    l1, l2 = len(t1), len(t2)
+    a1 = np.asarray(t1, dtype=np.int64)
+    a2 = np.asarray(t2, dtype=np.int64)
+    _, i1, i2 = np.intersect1d(a1, a2, assume_unique=True,
+                               return_indices=True)
+    if len(i1) == 0:
+        return 0.0
+    prods = (np.asarray(v1, dtype=np.float64)[i1]
+             * np.asarray(v2, dtype=np.float64)[i2])
     dot = 0.0
-    while i < l1 and j < l2:
-        a, b = t1[i], t2[j]
-        if a == b:
-            dot += v1[i] * v2[j]
-            i += 1
-            j += 1
-        elif a < b:
-            i += 1
-        else:
-            j += 1
+    for p in prods.tolist():
+        dot += p
     return dot / (n1 * n2)
 
 
@@ -107,11 +130,9 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
         "title_toks_1", "title_toks_2", "host_1", "host_2",
         "w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
         "w_norm_1", "w_norm_2")}
-    # Arrow batches surface array columns as numpy object arrays whose
-    # element access boxes scalars; plain lists make the sorted-merge loop
-    # in sparse_cosine_sorted ~2x faster with bit-identical values.
-    for c in ("w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
-              "title_toks_1", "title_toks_2"):
+    # w_* arrays go straight to the numpy cosine kernel (no per-pair
+    # conversion); title tokens become plain lists for the set Jaccard.
+    for c in ("title_toks_1", "title_toks_2"):
         cols[c] = [x if isinstance(x, list) else x.tolist() for x in cols[c]]
 
     # memo tables: names/hosts repeat heavily across a block's pairs, and

@@ -49,14 +49,18 @@ def _stage1(query_feats: DataFrame, entities: DataFrame) -> DataFrame:
            | (entities.first_initial == F.lit("")))))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webr.features import token_hash
         for pdf in batches:
             cos = []
             for toks, vals, nrm, prof in zip(
                     pdf["w_toks"], pdf["w_vals"], pdf["w_norm"],
                     pdf["profile"]):
                 prof = prof if isinstance(prof, dict) else {}
-                p_toks = sorted(prof)
-                p_vals = [prof[t] for t in p_toks]
+                # entity profiles keep human-readable tokens; hash to the
+                # same int64 id space as the mention weight arrays
+                entries = sorted((token_hash(t), v) for t, v in prof.items())
+                p_toks = [h for h, _ in entries]
+                p_vals = [v for _, v in entries]
                 acc = 0.0
                 for v in p_vals:
                     acc += v * v

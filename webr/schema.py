@@ -49,7 +49,7 @@ MENTION_FEATS = StructType([
     StructField("last", StringType(), True),
     StructField("name_norm", StringType(), True),
     StructField("title_toks", ArrayType(StringType()), True),
-    StructField("w_toks", ArrayType(StringType()), True),
+    StructField("w_toks", ArrayType(LongType()), True),  # token_hash ids
     StructField("w_vals", ArrayType(DoubleType()), True),
     StructField("w_norm", DoubleType(), True),
 ])

@@ -53,10 +53,13 @@ def get_spark(app: str = "webr", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # wide-row joins (pair sides carry weight arrays): hash join beats
+        # sorting the fat side; sort-merge stays available to AQE if needed
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory",
-                os.environ.get("WEBR_DRIVER_MEM", "8g"))
+                os.environ.get("WEBR_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

@@ -27,6 +27,9 @@ import html as _html
 import re
 import string
 import unicodedata
+import zlib
+
+import numpy as _np
 
 # ---------------------------------------------------------------------------
 # constants
@@ -310,22 +313,26 @@ def md5_hex(s: str) -> str:
 
 _MH_PRIME = (1 << 61) - 1  # Mersenne prime: standard minhash modulus
 # deterministic per-(band,row) affine coefficients, derived from md5 so any
-# worker regenerates them identically with no broadcast
-_MH_COEF: list[tuple[int, int]] = [
-    (int(hashlib.md5(f"webr-mh-a:{i}".encode()).hexdigest()[:15], 16) | 1,
-     int(hashlib.md5(f"webr-mh-b:{i}".encode()).hexdigest()[:15], 16))
-    for i in range(64)
-]
+# worker regenerates them identically with no broadcast. a is 31-bit odd and
+# the crc32 base is 32-bit, so a*x+b < 2^63 stays exact in uint64.
+_MH_A = _np.array(
+    [(int(hashlib.md5(f"webr-mh-a:{i}".encode()).hexdigest()[:8], 16)
+      % (1 << 31)) | 1 for i in range(64)], dtype=_np.uint64)
+_MH_B = _np.array(
+    [int(hashlib.md5(f"webr-mh-b:{i}".encode()).hexdigest()[:8], 16)
+     % (1 << 31) for i in range(64)], dtype=_np.uint64)
 
 
 def minhash_band_keys(tokens: list[str], n_bands: int = 4, rows: int = 2,
                       shingle: int = 3) -> list[str]:
     """MinHash-LSH band keys over word shingles. Each shingle is hashed
-    ONCE (md5 -> 60-bit int); the n_bands*rows independent hash functions
-    are affine maps h_i(x) = (a_i*x + b_i) mod 2^61-1 over that base hash
-    (the standard construction — 8x fewer digest computations than
-    per-seed md5, which dominated the extract stage's profile). Returns
-    one key per band: 'b{band}:{min hex per row joined}'; empty -> []."""
+    ONCE (crc32, C-speed); the n_bands*rows independent hash functions are
+    affine maps h_i(x) = (a_i*x + b_i) mod 2^61-1 evaluated as one numpy
+    matrix op (the Python bigint min-loops this replaced were 85% of the
+    extract stage's profile). A crc32 collision merely merges two shingles
+    in a band key — it can only ADD a candidate pair, never lose a true
+    one beyond ordinary minhash variance. Returns one key per band:
+    'b{band}:{min hex per row joined}'; empty -> []."""
     if len(tokens) < shingle:
         shingles = [" ".join(tokens)] if tokens else []
     else:
@@ -333,16 +340,17 @@ def minhash_band_keys(tokens: list[str], n_bands: int = 4, rows: int = 2,
                     for i in range(len(tokens) - shingle + 1)]
     if not shingles:
         return []
-    base = [int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:15], 16)
-            for sh in shingles]
-    keys = []
-    for band in range(n_bands):
-        mins = []
-        for row in range(rows):
-            a, b = _MH_COEF[band * rows + row]
-            mins.append(min((a * x + b) % _MH_PRIME for x in base))
-        keys.append(f"b{band}:" + "|".join(f"{m:016x}" for m in mins))
-    return keys
+    base = _np.fromiter(
+        (zlib.crc32(sh.encode("utf-8")) for sh in shingles),
+        dtype=_np.uint64, count=len(shingles))
+    k = n_bands * rows
+    mins = ((_MH_A[:k, None] * base[None, :] + _MH_B[:k, None])
+            % _MH_PRIME).min(axis=1)
+    return [
+        f"b{band}:" + "|".join(
+            f"{int(mins[band * rows + row]):016x}" for row in range(rows))
+        for band in range(n_bands)
+    ]
 
 
 # ---------------------------------------------------------------------------
