@@ -201,6 +201,70 @@ def build_pair_scores(pairs_sided: DataFrame) -> DataFrame:
     return pairs_sided.mapInPandas(gen, schema=schema.PAIR_SCORES)
 
 
+# coarse cogroup salt: pair-scoring tasks each handle ~(pairs/GROUPS)
+# pairs. Scale note: at 100 TB raise via env (or derive from the pairs
+# stage row count) so a group stays ~10^5 pairs; block integrity is NOT
+# required by the kernel, so the salt can split arbitrarily fine.
+PAIR_SCORE_GROUPS = int(os.environ.get("WEBR_PAIR_SCORE_GROUPS", "1024"))
+
+
+def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
+                              groups: int = PAIR_SCORE_GROUPS) -> DataFrame:
+    """Pair scoring without the per-pair feature blow-up.
+
+    ``attach_sides`` ships BOTH mentions' weight arrays once per pair —
+    with avg pair-degree ~25 that is a ~25x amplification of the fat
+    array payload through the join shuffle AND the JVM→Arrow→Python
+    hop, which makes the stage memory-bandwidth-bound (it stops scaling
+    with cores, and at 100 TB it is the dominant shuffle).
+
+    Instead: key every pair by a coarse group (hash of its block_key),
+    build the distinct (group, url) membership, join mention_feats ONCE
+    per member, and cogroup(pairs, member_feats) → applyInPandas. Each
+    mention's arrays now cross the wire once per block it actually
+    pairs in (~1-3x) instead of once per pair (~25x). The Python side
+    reassembles the sided frame with O(1) indexer lookups and calls the
+    SAME ``score_pairs`` kernel — bitwise-identical output rows.
+
+    The coarse salt bounds per-task group size: blocks hashing to the
+    same group are scored together (the kernel is per-pair, so group
+    composition is semantically irrelevant); the largest single block
+    is already bounded by the sorted-neighborhood rule (O(n·W) pairs).
+    """
+    names = [f.name for f in schema.PAIR_SCORES.fields]
+    side_cols = SIDE_COLS
+
+    p = pairs.select(
+        "url_1", "url_2", "block_key",
+        F.pmod(F.xxhash64("block_key"), F.lit(groups)).alias("gk"))
+    # gk recomputed from `pairs` (not re-used from `p`) so the cogroup's
+    # two branches don't share one attribute id (self-join ambiguity)
+    urls = (pairs.select(F.col("block_key").alias("bk"),
+                         F.col("url_1").alias("url"))
+            .unionByName(pairs.select(F.col("block_key").alias("bk"),
+                                      F.col("url_2").alias("url")))
+            .select(F.pmod(F.xxhash64("bk"), F.lit(groups)).alias("gk"),
+                    "url")
+            .distinct())
+    side = urls.join(mention_feats, "url")
+
+    def score_group(pairs_pdf: pd.DataFrame,
+                    memb_pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.Index(memb_pdf["url"])
+        i1 = idx.get_indexer(pairs_pdf["url_1"])
+        i2 = idx.get_indexer(pairs_pdf["url_2"])
+        sided = pairs_pdf[["url_1", "url_2", "block_key"]].copy()
+        for c in side_cols:
+            v = memb_pdf[c].to_numpy()
+            sided[f"{c}_1"] = v[i1]
+            sided[f"{c}_2"] = v[i2]
+        return score_pairs(sided)[names]
+
+    return (p.groupby("gk")
+            .cogroup(side.groupby("gk"))
+            .applyInPandas(score_group, schema=schema.PAIR_SCORES))
+
+
 def build_entities(mentions: DataFrame, idf: DataFrame,
                    clusters: DataFrame,
                    profile_top: int = 256) -> DataFrame:
@@ -209,47 +273,58 @@ def build_entities(mentions: DataFrame, idf: DataFrame,
     members = (clusters.where(~F.col("is_noise"))
                .join(mentions, "url"))
 
-    def mode_of(col: str, alias: str) -> DataFrame:
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.desc("cnt"), F.asc(col))
-        return (members.groupBy("cluster_id", col)
-                .agg(F.count("*").alias("cnt"))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("cluster_id", F.col(col).alias(alias)))
-
-    names = mode_of("name_norm", "canonical_name")
-    lasts = mode_of("last", "last")
-    firsts = (members
-              .groupBy("cluster_id", F.substring("first", 1, 1).alias("fi"))
+    # ONE scan + ONE count-shuffle + ONE ranked pass for all four
+    # majority votes (name, last, first-initial, top-3 hosts) and the
+    # member count — was 5 separate aggregation chains re-scanning the
+    # members join, each with its own shuffle round (flat latency that
+    # doesn't amortize at 1000 executors).
+    melted = (members.select(
+        "cluster_id",
+        F.explode(F.array(
+            F.struct(F.lit("name").alias("kind"),
+                     F.col("name_norm").alias("val")),
+            F.struct(F.lit("last").alias("kind"),
+                     F.col("last").alias("val")),
+            F.struct(F.lit("fi").alias("kind"),
+                     F.substring("first", 1, 1).alias("val")),
+            F.struct(F.lit("host").alias("kind"),
+                     F.col("host").alias("val")),
+        )).alias("kv"))
+        .select("cluster_id", F.col("kv.kind").alias("kind"),
+                F.col("kv.val").alias("val")))
+    ranked = (melted.groupBy("cluster_id", "kind", "val")
               .agg(F.count("*").alias("cnt"))
               .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("cluster_id").orderBy(
-                      F.desc("cnt"), F.asc("fi"))))
-              .where(F.col("rn") == 1)
-              .select("cluster_id", F.col("fi").alias("first_initial")))
-    host_w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("cnt"), F.asc("host"))
-    hosts = (members.groupBy("cluster_id", "host")
-             .agg(F.count("*").alias("cnt"))
-             .withColumn("rn", F.row_number().over(host_w))
-             .where(F.col("rn") <= 3)
-             .groupBy("cluster_id")
-             .agg(F.sort_array(F.collect_list(
-                 F.struct("rn", "host"))).alias("hs"))
-             .select("cluster_id",
-                     F.expr("transform(hs, x -> x.host)").alias("hosts")))
-    counts = (members.groupBy("cluster_id")
-              .agg(F.count("*").alias("n_members")))
+                  Window.partitionBy("cluster_id", "kind")
+                  .orderBy(F.desc("cnt"), F.asc("val")))))
 
-    # cluster BoW profile: sum member tf*idf per token, keep top-N (A5)
-    tf = (members.select("cluster_id", "url",
-                         F.explode("body_toks").alias("token"))
-          .groupBy("cluster_id", "url", "token")
-          .agg(F.count("*").alias("tf")))
-    weights = (tf.join(idf.select("token", "idf"), "token")
-               .groupBy("cluster_id", "token")
-               .agg(F.sum(F.col("tf") * F.col("idf")).alias("w")))
+    def top1(kind: str):
+        return F.max(F.when((F.col("kind") == kind) & (F.col("rn") == 1),
+                            F.col("val")))
+
+    stats = (ranked.groupBy("cluster_id").agg(
+        top1("name").alias("canonical_name"),
+        top1("last").alias("last"),
+        top1("fi").alias("first_initial"),
+        F.sum(F.when(F.col("kind") == "name", F.col("cnt"))
+              .otherwise(F.lit(0))).alias("n_members"),
+        F.expr("transform(array_sort(collect_list(case when kind = 'host' "
+               "and rn <= 3 then struct(rn, val) end)), x -> x.val)")
+        .alias("hosts")))
+
+    # cluster BoW profile: sum member tf*idf per token, keep top-N (A5).
+    # idf(token) is constant across members, so sum(tf)*idf == the
+    # per-member tf*idf sum — ONE occurrence-count shuffle (map-side
+    # combine collapses it to |clusters|x|vocab|) replaces the former
+    # (cluster,url,token) two-level aggregation. idf is broadcast (vocab
+    # table is small relative to the corpus; for 10^9-term vocabularies
+    # drop the hint and let AQE pick the join).
+    occ = (members.select("cluster_id", F.explode("body_toks").alias("token"))
+           .groupBy("cluster_id", "token")
+           .agg(F.count("*").alias("cnt")))
+    weights = (occ.join(F.broadcast(idf.select("token", "idf")), "token")
+               .select("cluster_id", "token",
+                       (F.col("cnt") * F.col("idf")).alias("w")))
     top_w = Window.partitionBy("cluster_id").orderBy(
         F.desc("w"), F.asc("token"))
     profile = (weights.withColumn("rn", F.row_number().over(top_w))
@@ -258,11 +333,7 @@ def build_entities(mentions: DataFrame, idf: DataFrame,
                .agg(F.map_from_entries(F.collect_list(
                    F.struct("token", "w"))).alias("profile")))
 
-    out = (counts.join(names, "cluster_id")
-           .join(lasts, "cluster_id")
-           .join(firsts, "cluster_id")
-           .join(hosts, "cluster_id", "left")
-           .join(profile, "cluster_id", "left"))
+    out = stats.join(profile, "cluster_id", "left")
     return out.select([f.name for f in schema.ENTITIES.fields])
 
 
@@ -312,7 +383,7 @@ class Pipeline:
         s_ps = self.snap("pair_scores", s_p, s_mi)
         pair_scores = wh.stage(
             "pair_scores", s_ps,
-            lambda: build_pair_scores(attach_sides(pairs, mention_feats)),
+            lambda: build_pair_scores_grouped(pairs, mention_feats),
             lineage={"pairs": s_p, "mention_feats": s_mi})
 
         s_c = self.snap("clusters", s_ps)
