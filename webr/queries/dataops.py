@@ -115,14 +115,20 @@ FROM b GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig
 _HEX = "0123456789abcdef"
 
 
-def _spark_simhash() -> str:
-    # v = 16-bit int from first 4 hex chars of md5(token)
+def _spark_hvals() -> str:
+    # per-token 16-bit int from first 4 hex chars of md5(token) — hoisted
+    # into ONE transform so md5 runs once per token, not once per bit
+    # (inlining it in all 16 bit expressions made the query ~16x heavier)
     v = "+".join(
         f"(instr('{_HEX}', substring(md5(t), {k+1}, 1)) - 1) * {16 ** (3-k)}"
         for k in range(4))
+    return f"transform(tset, t -> CAST(({v}) AS INT))"
+
+
+def _spark_simhash() -> str:
     bits = " + ".join(
-        f"CAST(CASE WHEN aggregate(transform(tset, t -> CASE WHEN "
-        f"(CAST(({v}) AS INT) div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END), "
+        f"CAST(CASE WHEN aggregate(transform(hvals, h -> CASE WHEN "
+        f"(h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END), "
         f"0, (a, x) -> a + x) > 0 THEN {1 << j} ELSE 0 END AS INT)"
         for j in range(16))
     return bits
@@ -145,7 +151,8 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
          .withColumn("tset",
                      F.array_sort(F.array_distinct(
                          F.expr(spark_tokens_nostop("text")))))
-         .where(F.size("tset") >= 1))
+         .where(F.size("tset") >= 1)
+         .withColumn("hvals", F.expr(_spark_hvals())))
     return (d.select("doc_id",
                      F.expr(_spark_simhash()).cast("long").alias("simhash16"))
             .orderBy("doc_id"))
@@ -389,6 +396,69 @@ FROM documents ORDER BY doc_id
 # => rows-only driver check; recall vs the exact baseline is asserted in
 # tests/test_modules.py.
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (dedup family over the embeddings table)
+
+_EMB_TAU = 0.30        # near-dup threshold (synthetic vectors are near-
+                       # orthogonal; real near-dup corpora use ~0.95+)
+_EMB_SIGN_BITS = 8     # sign-LSH bucket width
+
+
+def _spark_sign_bucket() -> str:
+    return " + ".join(
+        f"CASE WHEN element_at(v, {i + 1}) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_EMB_SIGN_BITS))
+
+
+def _duck_sign_bucket() -> str:
+    return " + ".join(
+        f"CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_EMB_SIGN_BITS))
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: bucket every vector by the sign pattern
+    of its first 8 dims (near-identical vectors agree on signs), equi-join
+    within bucket — a blocking join, never a cross join — and keep pairs
+    with cosine >= tau. The bucket key makes this linear-ish at 100 TB:
+    candidates = sum over buckets of n_b^2 with n_b ~ n/256; widen the
+    sign bits (or add rotations as in webr.similarity's multi-table LSH)
+    to cap bucket sizes as the corpus grows."""
+    e = (read(spark, sf, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v"))
+         .withColumn("bkt", F.expr(_spark_sign_bucket())))
+    a, b = e.alias("a"), e.alias("b")
+    dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, "
+           "(acc, x) -> acc + x)")
+    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    cos = (f"({dot}) / ((" + nrm.format(c="a.v") + ") * ("
+           + nrm.format(c="b.v") + "))")
+    return (a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id_1"),
+                    F.col("b.vec_id").alias("vec_id_2"),
+                    F.expr(cos).alias("cos_raw"))
+            .where(F.round("cos_raw", 6) >= _EMB_TAU)
+            .select("vec_id_1", "vec_id_2",
+                    F.round("cos_raw", 4).alias("cosine"))
+            .orderBy("vec_id_1", "vec_id_2"))
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {_duck_sign_bucket()} AS bkt FROM e),
+p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+             list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_raw
+      FROM b a JOIN b b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+SELECT vec_id_1, vec_id_2, round(cos_raw, 4) AS cosine
+FROM p WHERE round(cos_raw, 6) >= {_EMB_TAU} ORDER BY vec_id_1, vec_id_2
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from webr.similarity import lsh_topk
     e = read(spark, sf, "embeddings")
@@ -416,6 +486,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
