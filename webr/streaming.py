@@ -7,9 +7,15 @@ pipeline then consumes)."""
 from __future__ import annotations
 
 import os
+from typing import Any, Iterator, Tuple
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType, BooleanType, StringType, StructField, StructType,
+)
 
 from webr import schema
 
@@ -52,3 +58,102 @@ def ingest_to_staging(spark: SparkSession, input_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental cluster assignment (C6 as a stream)
+
+ASSIGN_OUT = StructType([
+    StructField("bk", StringType(), False),
+    StructField("url", StringType(), False),
+    StructField("rep", StringType(), False),
+    StructField("is_new", BooleanType(), False),
+])
+
+# per-block state: parallel arrays of known cluster representatives and
+# the name evidence needed by the compat gate
+_ASSIGN_STATE = StructType([
+    StructField("reps", ArrayType(StringType()), True),
+    StructField("firsts", ArrayType(StringType()), True),
+    StructField("middles", ArrayType(StringType()), True),
+])
+
+
+def _assign_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    """Grouped stateful handler: for each mention arriving in this block,
+    link it to the first existing representative whose name evidence is
+    compatible (``textproc.names_compatible`` — the SAME kernel the batch
+    scorer gates on), else promote it to a new representative. State is
+    O(#clusters in block), not O(#mentions): web-scale blocks keep
+    thousands of reps, not millions of members."""
+    from webr.textproc import names_compatible
+
+    if state.exists:
+        reps, firsts, middles = (list(x) for x in state.get)
+    else:
+        reps, firsts, middles = [], [], []
+    bk = key[0]
+    out_rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        # arrival order within a micro-batch is not deterministic after a
+        # shuffle — pin it (url order) so replays produce identical state
+        pdf = pdf.sort_values("url")
+        for url, first, middle in zip(pdf["url"], pdf["first"],
+                                      pdf["middle"]):
+            hit = None
+            for i, r in enumerate(reps):
+                if names_compatible(first, middle, firsts[i], middles[i]):
+                    hit = r
+                    break
+            if hit is None:
+                reps.append(url)
+                firsts.append(first)
+                middles.append(middle)
+                out_rows.append({"bk": bk, "url": url, "rep": url,
+                                 "is_new": True})
+            else:
+                out_rows.append({"bk": bk, "url": url, "rep": hit,
+                                 "is_new": False})
+    state.update((reps, firsts, middles))
+    yield pd.DataFrame(out_rows, columns=[f.name for f in ASSIGN_OUT.fields])
+
+
+def incremental_assign(mentions: DataFrame) -> DataFrame:
+    """Streaming mentions (bk, url, first, middle) -> (bk, url, rep,
+    is_new) via ``applyInPandasWithState``. State lives in the streaming
+    checkpoint, so a restarted query resumes with every block's known
+    representatives intact (tested in tests/test_modules.py)."""
+    return (mentions
+            .groupBy("bk")
+            .applyInPandasWithState(
+                _assign_fn, ASSIGN_OUT, _ASSIGN_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def mention_stream(pages: DataFrame) -> DataFrame:
+    """pages stream -> streaming mentions keyed by the first-initial+last
+    block key (the n: key of mentions.block_keys_for), via the SAME
+    extraction kernel as the batch pipeline."""
+    from webr.engine import build_mentions
+    m = build_mentions(pages)
+    return (m.where(F.col("parse_ok"))
+            .select(F.concat(F.substring("first", 1, 1), F.lit(":"),
+                             F.col("last")).alias("bk"),
+                    "url", "first", "middle"))
+
+
+def incremental_assign_query(spark: SparkSession, input_dir: str,
+                             out_dir: str, checkpoint_dir: str):
+    """End-to-end: page drops -> mentions -> stateful cluster assignment
+    -> parquet sink, availableNow (drain-what-is-there) semantics."""
+    q = (incremental_assign(mention_stream(stream_pages(spark, input_dir)))
+         .writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    return q
