@@ -1,0 +1,126 @@
+"""Hypothesis property tests for the shared pure-Python kernels.
+
+These guard the invariants the distributed engine SILENTLY depends on:
+determinism and total-function behavior over arbitrary unicode (a web
+corpus sends everything), metric properties of the similarities, and
+stability of the normalization chain. The kernels run verbatim on both
+the oracle and the Arrow workers, so a property violation here is a
+cross-engine divergence waiting to happen.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webr.textproc import (
+    jaccard, jaro, jaro_winkler, levenshtein, minhash_band_keys,
+    names_compatible, nfkd_ascii, norm_text, soundex, strip_punct,
+    tokenize, try_parse_name,
+)
+
+TEXT = st.text(max_size=60)
+ASCII_WORD = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_normalization_idempotent_and_ascii(s):
+    out = nfkd_ascii(s)
+    assert nfkd_ascii(out) == out          # idempotent
+    assert all(ord(c) < 128 for c in out)  # pure ASCII
+    n = norm_text(s)
+    assert norm_text(n) == n
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_tokenize_total_and_stable(s):
+    toks = tokenize(s)
+    assert toks == tokenize(s)                   # deterministic
+    assert all(t == t.lower() and t for t in toks)
+    assert tokenize(" ".join(toks)) == [t for t in toks]  # fixpoint-ish
+    strip_punct(s)  # never raises
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT, TEXT)
+def test_jaro_winkler_metric_properties(a, b):
+    j = jaro_winkler(a, b)
+    assert 0.0 <= j <= 1.0
+    assert jaro_winkler(b, a) == j           # symmetric
+    assert jaro_winkler(a, a) == (1.0 if a else jaro(a, a))
+    assert jaro(a, b) <= j + 1e-15           # winkler only boosts
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT, TEXT)
+def test_levenshtein_metric(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert d >= abs(len(a) - len(b))
+    assert d <= max(len(a), len(b))
+    assert levenshtein(a, a) == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT, TEXT, TEXT)
+def test_levenshtein_triangle(a, b, c):
+    assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(ASCII_WORD, max_size=12), st.sets(ASCII_WORD, max_size=12))
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert jaccard(b, a) == j
+    if a:
+        assert jaccard(a, a) > 0.999
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_soundex_total_and_shaped(s):
+    code = soundex(s)
+    assert code == soundex(s)
+    if code:
+        assert len(code) == 4
+        assert code[0].isalpha() and code[0].isupper()
+        assert all(c.isdigit() for c in code[1:])
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_parse_name_never_crashes(s):
+    r = try_parse_name(s)  # garbage in -> None or a 3-tuple, never a raise
+    if r is not None:
+        f, m, last = r
+        assert last  # a parsed name always has a last name
+
+
+@settings(max_examples=300, deadline=None)
+@given(ASCII_WORD, ASCII_WORD, ASCII_WORD, ASCII_WORD)
+def test_names_compatible_symmetric_reflexive(fa, ma, fb, mb):
+    assert (names_compatible(fa, ma, fb, mb)
+            == names_compatible(fb, mb, fa, ma))
+    assert names_compatible(fa, ma, fa, ma)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(ASCII_WORD.filter(bool), min_size=1, max_size=30))
+def test_minhash_band_keys_deterministic_and_shaped(tokens):
+    """Shingle MinHash is order-SENSITIVE by design (it fingerprints
+    sequences, not bags) — the invariants are determinism, band count,
+    and key shape."""
+    k1 = minhash_band_keys(tokens)
+    assert k1 == minhash_band_keys(list(tokens))     # deterministic
+    assert len(k1) == 4                              # one key per band
+    for band, key in enumerate(k1):
+        head, _, sig = key.partition(":")
+        assert head == f"b{band}"
+        assert all(len(p) == 16 for p in sig.split("|"))  # 2 hex rows
+    # identical docs always collide in every band (dedup recall floor)
+    assert minhash_band_keys(list(tokens)) == k1

@@ -14,7 +14,8 @@ Anything here changes => goldens change; bump SCORING_VERSION.
 # v2: minhash = affine maps over one base md5/shingle
 # v3: weight arrays keyed by int64 token_hash ids (md5[:15]), hash-sorted
 # v4: minhash base hash = crc32, affine maps vectorized (31-bit coeffs)
-SCORING_VERSION = "v4"
+SCORING_VERSION = "v5"  # v5: tokenize closed under lower() (NFKD can
+                        # surface uppercase ASCII from modifier letters)
 
 # clustering thresholds (ref author_disambiguation.py:16-17)
 EPS = 0.85          # edge iff score >= EPS

@@ -120,7 +120,12 @@ def tokenize(s: str | None, *, stop: bool = True) -> list[str]:
     -> optional stopword filter. The single tokenizer of the spec."""
     if not s:
         return []
-    s = strip_punct(nfkd_ascii(norm_text(s)))
+    # the second lower() closes the chain: NFKD can SURFACE uppercase
+    # ASCII after the first lowering (e.g. modifier letters like U+1D2C
+    # 'ᴬ' have no lowercase mapping but decompose to 'A'), and a token
+    # that sometimes appears uppercase would silently never match its
+    # lowercase twin across documents (found by hypothesis).
+    s = strip_punct(nfkd_ascii(norm_text(s))).lower()
     toks = s.split()
     if stop:
         toks = [t for t in toks if t not in STOPWORDS]
