@@ -213,7 +213,7 @@ def q_doc_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     qw = (w.where(F.col("doc_id") % 100 == 0)
           .select(F.col("doc_id").alias("q_id"), "token",
                   F.col("w").alias("qw")))
-    dots = (qw.join(w, "token")
+    dots = (F.broadcast(qw).join(w, "token")
             .where(F.col("doc_id") != F.col("q_id"))
             .groupBy("q_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("w")).alias("dot")))
