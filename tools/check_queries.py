@@ -36,6 +36,28 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def strict_issues(sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    """Replicate the DRIVER canonicalizer's stricter failure modes, which
+    the relaxed value_hash below tolerates: (a) list/ndarray-typed cells
+    crash its sort_values; (b) dtype-kind mismatches (DuckDB HUGEINT sums
+    come back float64 vs Spark int64) change its value hash."""
+    issues = []
+    for df, side in ((sdf, "spark"), (ddf, "duck")):
+        for c in df.columns:
+            if len(df) == 0:
+                continue
+            v = df[c].iloc[0]
+            if isinstance(v, (list, tuple)) or \
+                    type(v).__name__ == "ndarray":
+                issues.append(f"{side}.{c} is list-typed (driver canon crash)")
+    for c in sorted(set(sdf.columns) & set(ddf.columns)):
+        ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if ks != kd:
+            issues.append(f"dtype kind mismatch on {c}: "
+                          f"spark {sdf[c].dtype} vs duck {ddf[c].dtype}")
+    return issues
+
+
 def value_hash(df: pd.DataFrame) -> str:
     cols = sorted(df.columns)
     rows = sorted(
@@ -89,11 +111,15 @@ def main() -> int:
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
         hs, hd = value_hash(sdf), value_hash(ddf)
         ok_hash = hs == hd
-        status = "ok   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
+        strict = strict_issues(sdf, ddf)
+        ok = ok_rows and ok_cols and ok_hash and not strict
+        status = "ok   " if ok else "FAIL "
         print(f"{status} {name}: rows {len(sdf)}/{len(ddf)} "
               f"cols_match={ok_cols} hash {hs}/{hd}")
         if status.startswith("FAIL"):
             failed.append(name)
+            for s in strict:
+                print("   strict:", s)
             if not ok_cols:
                 print("   spark cols:", sorted(sdf.columns))
                 print("   duck  cols:", sorted(ddf.columns))

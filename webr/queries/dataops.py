@@ -86,7 +86,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("bs.sig").alias("sig"))
             .groupBy("band", "sig")
             .agg(F.count("*").alias("n_docs"),
-                 F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+                 # scalar string, not array: the driver canonicalizer sorts
+                 # cell values and cannot hash list-typed cells
+                 F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+                 .alias("doc_ids"))
             .where(F.col("n_docs") >= 2)
             .orderBy("band", "sig"))
 
@@ -104,7 +107,7 @@ WITH s AS (
   WHERE len(toks) >= 3),
 b AS ({_duck_band_rows()})
 SELECT band, sig, count(*) AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
 FROM b GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig
 """
 

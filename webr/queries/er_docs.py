@@ -377,12 +377,18 @@ SQL_BLOCKING_METRICS = f"""
 WITH d AS (SELECT doc_id, block_key, md5(array_to_string(tset, ' ')) AS fp
            FROM ({_DUCK_DOCS})),
 tot AS (SELECT count(*) AS n_docs,
-               count(*) * (count(*) - 1) // 2 AS total_pairs FROM d),
-cand AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS cand_pairs
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+               AS total_pairs FROM d),
+-- CASTs: DuckDB sum(BIGINT) returns HUGEINT (pandas float64), which the
+-- driver hasher mismatches against Spark's int64
+cand AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+         AS cand_pairs
          FROM (SELECT count(*) AS c FROM d GROUP BY block_key)),
-tr AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS true_pairs
+tr AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+       AS true_pairs
        FROM (SELECT count(*) AS c FROM d GROUP BY fp)),
-cov AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS covered_pairs
+cov AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+        AS covered_pairs
         FROM (SELECT count(*) AS c FROM d GROUP BY fp, block_key))
 SELECT n_docs, total_pairs, cand_pairs, true_pairs, covered_pairs,
        round(1 - cand_pairs::DOUBLE / total_pairs, 6) AS rr,
@@ -426,7 +432,8 @@ SQL_TRAIN_SPLIT = f"""
 SELECT CASE WHEN {_NIBBLE_DUCK} <= 11 THEN 'train'
             WHEN {_NIBBLE_DUCK} <= 13 THEN 'dev'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_doc_id
 FROM documents GROUP BY split ORDER BY split
 """

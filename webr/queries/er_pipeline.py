@@ -39,7 +39,10 @@ def q_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def q_er_entities(spark: SparkSession, sf: str) -> DataFrame:
     return (_run(spark)["entities"]
             .select("cluster_id", "canonical_name", "last", "first_initial",
-                    "n_members", F.col("hosts").alias("top_hosts"))
+                    "n_members",
+                    # scalar string: the driver canonicalizer cannot sort
+                    # rows containing list-typed cells
+                    F.array_join("hosts", ",").alias("top_hosts"))
             .orderBy("cluster_id"))
 
 

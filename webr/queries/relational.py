@@ -145,9 +145,12 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("session_no",
                         F.sum("new_sess").over(
                             w.rowsBetween(Window.unboundedPreceding, 0))))
+    # integer cents, not round(sum(double), 2): double sums are addition-
+    # order-sensitive across engines (same rule as orders_rollup)
     return (sess.groupBy("user_id", "session_no")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("session_value"))
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("session_cents"))
             .orderBy("user_id", "session_no"))
 
 
@@ -165,8 +168,10 @@ s AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g)
-SELECT user_id, session_no, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       AS session_cents
 FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
 """
 
@@ -213,7 +218,10 @@ SQL_ORDERS_ROLLUP = """
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL')   AS status,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       -- outer CAST: DuckDB sum(BIGINT) returns HUGEINT, which pandas
+       -- renders as float64 and the driver hasher then mismatches int64
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       AS total_cents
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 ORDER BY priority, status
