@@ -1,0 +1,105 @@
+"""Mega-block guard for the doc_* query family and dedup_ngram_jaccard:
+a hot key (one mega source) must produce O(n*W) pairs, not O(n^2), and
+the DuckDB oracle must mirror the rule bit-for-bit."""
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+
+from webr import spec
+
+
+@pytest.fixture(scope="module")
+def mega_sf_dir(spark):
+    """Synthetic documents.parquet with one mega source (200 docs sharing
+    source + first-token initial => one block of 200 > MAX_BLOCK_SIZE=64)
+    and a small source (10 docs)."""
+    d = tempfile.mkdtemp(prefix="webr_mega_")
+    rows = []
+    for i in range(200):
+        rows.append({
+            "doc_id": i,
+            "text": f"alpha shared tokens here doc{i} alpha beta gamma "
+                    f"word{i % 7} word{i % 11} filler text body",
+            "lang": "en",
+            "source": "mega.example.com",
+            "n_chars": 80 + i % 13,
+        })
+    for i in range(200, 210):
+        rows.append({
+            "doc_id": i,
+            "text": f"alpha small host doc{i} delta epsilon word{i % 3}",
+            "lang": "en",
+            "source": "tiny.example.org",
+            "n_chars": 40 + i % 5,
+        })
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(cols).reset_index(drop=True)
+            .astype({c: "float64" for c in cols
+                     if df[c].dtype.kind in "if"}))
+
+
+def test_doc_pairs_bounded_and_oracle_match(spark, mega_sf_dir):
+    from webr.queries.er_docs import SQL_DOC_PAIRS, q_doc_pairs
+    got = q_doc_pairs(spark, mega_sf_dir).toPandas()
+    want = _duck(mega_sf_dir, SQL_DOC_PAIRS)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    # the mega block (200 docs, all same source+initial) must be
+    # sorted-neighborhood bounded: n*W pairs, nowhere near n*(n-1)/2
+    mega = got[got.block_key.str.startswith("mega")]
+    n, w = 200, spec.SN_WINDOW
+    assert int(mega.n_pairs.sum()) == n * w - w * (w + 1) // 2
+    tiny = got[got.block_key.str.startswith("tiny")]
+    assert int(tiny.n_pairs.sum()) == 10 * 9 // 2  # small block: all pairs
+
+
+def test_doc_pair_features_oracle_match_mega(spark, mega_sf_dir):
+    from webr.queries.er_docs import (
+        SQL_DOC_PAIR_FEATURES, q_doc_pair_features,
+    )
+    got = q_doc_pair_features(spark, mega_sf_dir).toPandas()
+    want = _duck(mega_sf_dir, SQL_DOC_PAIR_FEATURES)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_dedup_ngram_jaccard_bounded(spark, mega_sf_dir):
+    from webr.queries.dataops import (
+        SQL_DEDUP_NGRAM_JACCARD, q_dedup_ngram_jaccard,
+    )
+    got = q_dedup_ngram_jaccard(spark, mega_sf_dir).toPandas()
+    want = _duck(mega_sf_dir, SQL_DEDUP_NGRAM_JACCARD)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    # pair universe is bounded by the window rule even though every doc in
+    # the mega source shares shingle 'alpha ...' content
+    n, w = 200, spec.SN_WINDOW
+    assert len(got) <= n * w + 10 * 9 // 2
+
+
+def test_doc_components_oracle_match_mega(spark, mega_sf_dir):
+    from webr.queries.er_docs import SQL_DOC_COMPONENTS, q_doc_components
+    got = q_doc_components(spark, mega_sf_dir).toPandas()
+    want = _duck(mega_sf_dir, SQL_DOC_COMPONENTS)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)

@@ -171,43 +171,56 @@ WHERE len(tset) >= 1 ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# n-gram (token 3-shingle) Jaccard near-dup pairs, blocked by source
+# n-gram (token 3-shingle) Jaccard near-dup pairs, blocked by source with
+# the mega-block guard: one hot hostname at 100 TB must not turn the
+# self-join into O(n^2) — blocks over MAX_BLOCK_SIZE switch to the
+# sorted-neighborhood window (same rule as webr/engine.py build_pairs,
+# shared helper in webr/queries/er_docs.py).
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from webr.queries.er_docs import bounded_pair_ids
     d = (read(spark, sf, "documents")
          .withColumn("toks", F.expr(spark_tokens("text")))
          .where(F.size("toks") >= 3)
          .withColumn("sh", F.array_sort(F.array_distinct(
              F.expr(_SPARK_SHINGLES))))
          .select("doc_id", "source", "sh"))
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return (a.join(b, (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2"),
-                    F.round(inter / uni, 6).alias("shingle_jaccard"))
+    p = (bounded_pair_ids(d, key="source")
+         .join(d.select(F.col("doc_id").alias("doc_id_1"),
+                        F.col("sh").alias("sh_1")), "doc_id_1")
+         .join(d.select(F.col("doc_id").alias("doc_id_2"),
+                        F.col("sh").alias("sh_2")), "doc_id_2"))
+    inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    uni = F.size("sh_1") + F.size("sh_2") - inter
+    return (p.select("doc_id_1", "doc_id_2",
+                     F.round(inter / uni, 6).alias("shingle_jaccard"))
             .where(F.col("shingle_jaccard") >= 0.05)
             .orderBy("doc_id_1", "doc_id_2"))
 
 
-SQL_DEDUP_NGRAM_JACCARD = f"""
+def _sql_dedup_ngram_jaccard() -> str:
+    from webr.queries.er_docs import duck_bounded_pairs
+    return f"""
 WITH d AS (
   SELECT doc_id, source,
          list_sort(list_distinct({_DUCK_SHINGLES.replace('toks', 'toks')}))
          AS sh
   FROM (SELECT doc_id, source, {duck_tokens('text')} AS toks FROM documents)
-  WHERE len(toks) >= 3)
-SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+  WHERE len(toks) >= 3),
+{duck_bounded_pairs("SELECT doc_id, source FROM d", key="source")}
+SELECT c.doc_id_1, c.doc_id_2,
        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
        AS shingle_jaccard
-FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM cand c JOIN d a ON a.doc_id = c.doc_id_1
+            JOIN d b ON b.doc_id = c.doc_id_2
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
 ORDER BY doc_id_1, doc_id_2
 """
+
+
+SQL_DEDUP_NGRAM_JACCARD = _sql_dedup_ngram_jaccard()
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from webr import spec
 from webr.queries.common import (
     duck_tokens_nostop, read, spark_tokens_nostop,
 )
@@ -25,6 +26,64 @@ from webr.queries.common import (
 
 _BK_SPARK = "concat(source, ':', substring(element_at({toks}, 1), 1, 1))"
 _BK_DUCK = "source || ':' || substr({toks}[1], 1, 1)"
+
+# Mega-block guard for every in-block self-join in this family (same rule
+# as the engine proper, webr/engine.py build_pairs): blocks up to
+# MAX_BLOCK_SIZE get all i<j pairs; larger blocks switch to the
+# sorted-neighborhood window (sort by doc_id, pair i with i+1..i+W), which
+# bounds any block to O(n*W) pairs — one 100x-hot source at web scale must
+# not turn the self-join into an O(n^2) shuffle explosion.
+
+_PAIR_CAP = spec.MAX_BLOCK_SIZE
+_PAIR_WIN = spec.SN_WINDOW
+
+
+def bounded_pair_ids(d: DataFrame, key: str = "block_key",
+                     id_col: str = "doc_id",
+                     cap: int = _PAIR_CAP,
+                     win: int = _PAIR_WIN) -> DataFrame:
+    """(key, {id}_1, {id}_2) candidate pairs with the mega-block guard.
+    Ids-only output: callers join the fat side columns back once per pair
+    (ids shuffle cheap; the wide payload never rides the self-join)."""
+    wrn = Window.partitionBy(key).orderBy(id_col)
+    m = (d.select(key, id_col)
+         .withColumn("rn", F.row_number().over(wrn))
+         .withColumn("bn", F.count("*").over(Window.partitionBy(key))))
+    small = m.where(F.col("bn") <= cap)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                          & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                   .select(F.col(f"a.{key}").alias(key),
+                           F.col(f"a.{id_col}").alias(f"{id_col}_1"),
+                           F.col(f"b.{id_col}").alias(f"{id_col}_2")))
+    big = m.where(F.col("bn") > cap)
+    nbrs = F.array(*[F.lead(id_col, o).over(wrn)
+                     for o in range(1, win + 1)])
+    pairs_big = (big.select(key, id_col, nbrs.alias("nbrs"))
+                 .select(key, F.col(id_col).alias(f"{id_col}_1"),
+                         F.explode("nbrs").alias(f"{id_col}_2"))
+                 .where(F.col(f"{id_col}_2").isNotNull()))
+    return pairs_small.unionByName(pairs_big)
+
+
+def duck_bounded_pairs(docs_sql: str, key: str = "block_key",
+                       id_col: str = "doc_id",
+                       cap: int = _PAIR_CAP,
+                       win: int = _PAIR_WIN) -> str:
+    """DuckDB CTE body mirroring bounded_pair_ids exactly: within a block
+    sorted by id, (rn_b - rn_a) in [1, win] == the lead-window pairs, and
+    rn order == id order, so both engines emit the identical pair set."""
+    return f"""
+bm AS (SELECT {id_col}, {key},
+              row_number() OVER (PARTITION BY {key} ORDER BY {id_col}) AS rn,
+              count(*) OVER (PARTITION BY {key}) AS bn
+       FROM ({docs_sql})),
+cand AS (
+  SELECT a.{key} AS {key}, a.{id_col} AS {id_col}_1, b.{id_col} AS {id_col}_2
+  FROM bm a JOIN bm b ON a.{key} = b.{key}
+   AND ((a.bn <= {cap} AND a.{id_col} < b.{id_col})
+        OR (a.bn > {cap} AND b.rn > a.rn AND b.rn <= a.rn + {win})))
+"""
 
 
 def _docs_with_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -79,20 +138,17 @@ GROUP BY block_key HAVING count(*) >= 2 ORDER BY block_key
 # --- J1/P10: in-block self-join, upper triangle --------------------------------
 
 def q_doc_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = _docs_with_tokens(spark, sf).select("doc_id", "block_key")
-    a, b = d.alias("a"), d.alias("b")
-    return (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.block_key").alias("block_key"))
+    d = _docs_with_tokens(spark, sf)
+    return (bounded_pair_ids(d)
+            .groupBy("block_key")
             .agg(F.count("*").alias("n_pairs"))
             .orderBy("block_key"))
 
 
 SQL_DOC_PAIRS = f"""
-SELECT a.block_key AS block_key, count(*) AS n_pairs
-FROM ({_DUCK_DOCS}) a JOIN ({_DUCK_DOCS}) b
-  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-GROUP BY a.block_key ORDER BY block_key
+WITH {duck_bounded_pairs(_DUCK_DOCS)}
+SELECT block_key, count(*) AS n_pairs
+FROM cand GROUP BY block_key ORDER BY block_key
 """
 
 
@@ -101,35 +157,41 @@ GROUP BY a.block_key ORDER BY block_key
 def q_doc_pair_features(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-arithmetic Jaccard (set sizes) + builtin levenshtein on
     30-char prefixes: exact cross-engine parity, no float summation."""
-    d = (_docs_with_tokens(spark, sf)
-         .select("doc_id", "block_key", "tset",
-                 F.substring("text", 1, 30).alias("prefix"),
-                 "n_chars"))
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
-    uni = (F.size(F.col("a.tset")) + F.size(F.col("b.tset")) - inter)
-    return (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2"),
-                    F.round(inter / uni, 6).alias("jaccard"),
-                    F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-                    .alias("lev_prefix"),
-                    F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
-                    .alias("len_diff"))
+    d = _docs_with_tokens(spark, sf)
+    sides = d.select("doc_id", "tset",
+                     F.substring("text", 1, 30).alias("prefix"), "n_chars")
+    p = (bounded_pair_ids(d)
+         .join(sides.select(F.col("doc_id").alias("doc_id_1"),
+                            F.col("tset").alias("tset_1"),
+                            F.col("prefix").alias("prefix_1"),
+                            F.col("n_chars").alias("n_chars_1")), "doc_id_1")
+         .join(sides.select(F.col("doc_id").alias("doc_id_2"),
+                            F.col("tset").alias("tset_2"),
+                            F.col("prefix").alias("prefix_2"),
+                            F.col("n_chars").alias("n_chars_2")), "doc_id_2"))
+    inter = F.size(F.array_intersect("tset_1", "tset_2"))
+    uni = (F.size("tset_1") + F.size("tset_2") - inter)
+    return (p.select("doc_id_1", "doc_id_2",
+                     F.round(inter / uni, 6).alias("jaccard"),
+                     F.levenshtein("prefix_1", "prefix_2")
+                     .alias("lev_prefix"),
+                     F.abs(F.col("n_chars_1") - F.col("n_chars_2"))
+                     .alias("len_diff"))
             .orderBy("doc_id_1", "doc_id_2"))
 
 
 SQL_DOC_PAIR_FEATURES = f"""
 WITH d AS (SELECT doc_id, block_key, tset, substr(text,1,30) AS prefix,
-                  n_chars FROM ({_DUCK_DOCS}))
-SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                  n_chars FROM ({_DUCK_DOCS})),
+{duck_bounded_pairs("SELECT doc_id, block_key FROM d")}
+SELECT c.doc_id_1, c.doc_id_2,
        round(len(list_intersect(a.tset, b.tset))::DOUBLE /
              (len(a.tset) + len(b.tset)
               - len(list_intersect(a.tset, b.tset))), 6) AS jaccard,
        levenshtein(a.prefix, b.prefix) AS lev_prefix,
        abs(a.n_chars - b.n_chars) AS len_diff
-FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+FROM cand c JOIN d a ON a.doc_id = c.doc_id_1
+            JOIN d b ON b.doc_id = c.doc_id_2
 ORDER BY doc_id_1, doc_id_2
 """
 
@@ -137,16 +199,14 @@ ORDER BY doc_id_1, doc_id_2
 # --- F2: Jaro-Winkler (python kernel vs duckdb builtin — same algorithm) -------
 
 def q_doc_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
-    d = (_docs_with_tokens(spark, sf)
-         .select("doc_id", "block_key",
-                 F.substring("text", 1, 40).alias("prefix")))
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_id_1"),
-                     F.col("b.doc_id").alias("doc_id_2"),
-                     F.col("a.prefix").alias("p1"),
-                     F.col("b.prefix").alias("p2")))
+    d = _docs_with_tokens(spark, sf)
+    sides = d.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    pairs = (bounded_pair_ids(d)
+             .join(sides.select(F.col("doc_id").alias("doc_id_1"),
+                                F.col("prefix").alias("p1")), "doc_id_1")
+             .join(sides.select(F.col("doc_id").alias("doc_id_2"),
+                                F.col("prefix").alias("p2")), "doc_id_2")
+             .select("doc_id_1", "doc_id_2", "p1", "p2"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from webr.textproc import jaro_winkler
@@ -163,10 +223,12 @@ def q_doc_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DOC_JARO_WINKLER = f"""
 WITH d AS (SELECT doc_id, block_key, substr(text,1,40) AS prefix
-           FROM ({_DUCK_DOCS}))
-SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           FROM ({_DUCK_DOCS})),
+{duck_bounded_pairs("SELECT doc_id, block_key FROM d")}
+SELECT c.doc_id_1, c.doc_id_2,
        round(jaro_winkler_similarity(a.prefix, b.prefix), 6) AS jw
-FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+FROM cand c JOIN d a ON a.doc_id = c.doc_id_1
+            JOIN d b ON b.doc_id = c.doc_id_2
 ORDER BY doc_id_1, doc_id_2
 """
 
@@ -268,15 +330,17 @@ _EDGE_TAU = 0.6
 
 
 def _doc_edges(spark: SparkSession, sf: str) -> DataFrame:
-    d = _docs_with_tokens(spark, sf).select("doc_id", "block_key", "tset")
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
-    uni = F.size(F.col("a.tset")) + F.size(F.col("b.tset")) - inter
-    return (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .where(inter / uni >= _EDGE_TAU)
-            .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2")))
+    d = _docs_with_tokens(spark, sf)
+    sides = d.select("doc_id", "tset")
+    p = (bounded_pair_ids(d)
+         .join(sides.select(F.col("doc_id").alias("doc_id_1"),
+                            F.col("tset").alias("tset_1")), "doc_id_1")
+         .join(sides.select(F.col("doc_id").alias("doc_id_2"),
+                            F.col("tset").alias("tset_2")), "doc_id_2"))
+    inter = F.size(F.array_intersect("tset_1", "tset_2"))
+    uni = F.size("tset_1") + F.size("tset_2") - inter
+    return (p.where(inter / uni >= _EDGE_TAU)
+            .select("doc_id_1", "doc_id_2"))
 
 
 def q_doc_components(spark: SparkSession, sf: str) -> DataFrame:
@@ -297,11 +361,14 @@ def q_doc_components(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DOC_COMPONENTS = f"""
 WITH RECURSIVE d AS ({_DUCK_DOCS}),
+{duck_bounded_pairs("SELECT doc_id, block_key FROM d")},
 pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.tset, b.tset))::DOUBLE /
-        (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))
+  SELECT c.doc_id_1 AS a, c.doc_id_2 AS b
+  FROM cand c JOIN d da ON da.doc_id = c.doc_id_1
+              JOIN d db ON db.doc_id = c.doc_id_2
+  WHERE len(list_intersect(da.tset, db.tset))::DOUBLE /
+        (len(da.tset) + len(db.tset)
+         - len(list_intersect(da.tset, db.tset)))
         >= {_EDGE_TAU}),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
 lab(v, rep) AS (
