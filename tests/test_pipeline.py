@@ -161,3 +161,47 @@ def test_mega_block_bounded(pipeline_out):
     # sorted-neighborhood blocks contribute <= n*W pairs; with the corpus
     # sizes here every block must sit far below the quadratic blowup
     assert (per_block <= cap).all(), per_block.sort_values().tail()
+
+
+def test_cannot_link_bridge_split(spark, warehouse_dir):
+    """C2/W2 parity: an initial-only 'J Smith' bridge must NOT transitively
+    merge 'John Smith' and 'Jane Smith' (same host, same topics). Engine
+    and oracle run the same constrained replay and must agree exactly."""
+    from webr import schema
+    from webr.engine import Pipeline
+    from webr.oracle import run_oracle
+    from webr.synth import (
+        BRIDGE_INITIAL, BRIDGE_JANE, BRIDGE_JOHN, generate_bridge_pages,
+        pages_to_pandas,
+    )
+
+    pd_pages = pages_to_pandas(generate_bridge_pages())
+    pages = spark.createDataFrame(
+        pd_pages[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    out = Pipeline(spark, warehouse_dir, input_id="bridge-v1").run(pages)
+    cl = _clusters_pd(out)
+    gold = run_oracle(pd_pages)
+    g = gold.clusters.sort_values("url").reset_index(drop=True)
+    assert (cl.cluster_id.values == g.cluster_id.values).all()
+    assert (cl.is_noise.values == g.is_noise.values).all()
+
+    # the fixture must actually exercise the bridge: john<->bridge and
+    # jane<->bridge candidate edges exist pre-constraint
+    truth = dict(zip(pd_pages.url, pd_pages.entity_id))
+    edges = gold.pairs[gold.pairs.is_edge]
+    kinds = {frozenset((truth[a], truth[b]))
+             for a, b in zip(edges.url_1, edges.url_2)}
+    assert frozenset((BRIDGE_JOHN, BRIDGE_INITIAL)) in kinds
+    assert frozenset((BRIDGE_JANE, BRIDGE_INITIAL)) in kinds
+
+    # and the constraint must hold: no cluster mixes john and jane
+    merged = cl.assign(entity=[truth[u] for u in cl.url])
+    for cid, grp in merged[~merged.is_noise].groupby("cluster_id"):
+        ents = set(grp.entity)
+        assert not ({BRIDGE_JOHN, BRIDGE_JANE} <= ents), \
+            f"cluster {cid} merged john+jane"
+    # both real entities survive as clusters
+    ids_john = set(merged[merged.entity == BRIDGE_JOHN].cluster_id) - {0}
+    ids_jane = set(merged[merged.entity == BRIDGE_JANE].cluster_id) - {0}
+    assert ids_john and ids_jane and ids_john.isdisjoint(ids_jane)

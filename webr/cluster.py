@@ -34,6 +34,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row
 
+from webr import spec
+
 
 def _forest_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Union-find over ALL edge batches of one partition; emit (vertex,
@@ -91,15 +93,60 @@ def connected_components(edges: DataFrame, fanin: int = 8) -> DataFrame:
     return out
 
 
+def _constrained_refine(members: DataFrame, comp_edges: DataFrame,
+                        ) -> DataFrame:
+    """Per-component cannot-link replay (C2/W2): cogroup each component's
+    members (with name fields) and edges, apply the SAME pure kernel the
+    oracle uses (webr.constraints.constrained_components) -> (url, rep)
+    where rep = min url of the constrained sub-cluster. Components are
+    entity-sized (blocking + scoring bound them), so groups are small and
+    the replay parallelizes across components."""
+    def replay(memb_pdf: pd.DataFrame,
+               edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        from webr.constraints import constrained_components
+        names = {u: (f, m) for u, f, m in zip(
+            memb_pdf["url"], memb_pdf["first"], memb_pdf["middle"])}
+        rep = constrained_components(
+            names, list(zip(edges_pdf["url_1"], edges_pdf["url_2"])))
+        urls = sorted(rep)
+        return pd.DataFrame({"url": urls, "rep": [rep[u] for u in urls]})
+
+    # comp_e, not comp: both cogroup branches descend from the same CC
+    # frame, and sharing one attribute id trips the self-join ambiguity
+    # check (same pattern as build_pair_scores_grouped's gk)
+    return (members.groupby("comp")
+            .cogroup(comp_edges.groupby("comp_e"))
+            .applyInPandas(replay, "url string, rep string"))
+
+
 def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     """-> (url, cluster_id, is_noise). Non-linked mentions are noise with
-    cluster_id 0 (ref clustering/dbscan.py:137-139); linked components get
-    dense ids 1..K by sorted representative (deterministic; enumeration via
-    sorted zipWithIndex, not a single-partition window, so it scales)."""
-    # materialize the CC result once — it feeds three consumers below
-    # (rep enumeration, the linked join, and the noise anti-join); without
-    # this the whole union-find ladder re-runs per consumer.
-    labels = connected_components(edges).localCheckpoint(eager=True)
+    cluster_id 0 (ref clustering/dbscan.py:137-139); constrained
+    sub-clusters keeping >= 2 members get dense ids 1..K by sorted
+    representative (deterministic; enumeration via sorted zipWithIndex,
+    not a single-partition window, so it scales).
+
+    Two phases: unconstrained CC bounds each component, then the
+    cannot-link replay (webr.constraints) splits components that merged
+    name-incompatible mentions through an initial-only bridge."""
+    # materialize the CC result once — it feeds the refine cogroup AND the
+    # noise anti-join; without this the union-find ladder re-runs per
+    # consumer.
+    comp = (connected_components(edges)
+            .withColumnRenamed("rep", "comp")
+            .localCheckpoint(eager=True))
+    members = comp.join(
+        mentions.select("url", "first", "middle"), "url")
+    comp_edges = edges.join(
+        comp.select(F.col("url").alias("url_1"),
+                    F.col("comp").alias("comp_e")), "url_1")
+    refined = _constrained_refine(members, comp_edges)
+    # MIN_PTS: sub-clusters reduced to one member by rejected unions are
+    # noise again (a bridge whose links were all vetoed)
+    sizes = refined.groupBy("rep").agg(F.count("*").alias("n"))
+    labels = (refined.join(sizes.where(F.col("n") >= spec.MIN_PTS), "rep")
+              .select("url", "rep")
+              .localCheckpoint(eager=True))
     reps = labels.select("rep").distinct()
     rep_ids = (reps.orderBy("rep").rdd
                .map(lambda r: r[0])

@@ -107,34 +107,27 @@ def attach_sides(pairs: pd.DataFrame, mentions: pd.DataFrame) -> pd.DataFrame:
     return p
 
 
-def connected_components(urls: list[str],
+def connected_components(mentions: pd.DataFrame,
                          edges: list[tuple[str, str]]) -> pd.DataFrame:
-    parent: dict[str, str] = {u: u for u in urls}
-
-    def find(x: str) -> str:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    linked: set[str] = set()
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        linked.add(a)
-        linked.add(b)
-        if ra != rb:
-            # union by min url => representative is the min url
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    comp = {u: find(u) for u in urls}
-    reps = sorted({r for u, r in comp.items() if u in linked})
+    """Constrained transitive clustering: union-find over score-passed
+    edges with the cannot-link replay (webr.constraints shared kernel,
+    C2/W2 — ref dao/author_block.py:488-498, clustering/dbscan.py:49-60).
+    A mention is clustered iff its constrained sub-cluster kept >= 2
+    members (MIN_PTS); everything else is noise — a bridge mention whose
+    every union was rejected reverts to noise exactly like a DBSCAN point
+    without enough reachable neighbors."""
+    from webr.constraints import constrained_components
+    names = {u: (f, m) for u, f, m in zip(
+        mentions["url"], mentions["first"], mentions["middle"])}
+    rep = constrained_components(names, edges)
+    sizes: dict[str, int] = {}
+    for r in rep.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    linked = {u for u, r in rep.items() if sizes[r] >= spec.MIN_PTS}
+    reps = sorted({rep[u] for u in linked})
     rep_id = {r: i + 1 for i, r in enumerate(reps)}  # 0 reserved for noise
-    rows = [(u, rep_id[comp[u]] if u in linked else 0, u not in linked)
-            for u in sorted(urls)]
+    rows = [(u, rep_id[rep[u]] if u in linked else 0, u not in linked)
+            for u in sorted(names)]
     return pd.DataFrame(rows, columns=["url", "cluster_id", "is_noise"])
 
 
@@ -148,7 +141,7 @@ def run_oracle(pages: pd.DataFrame) -> OracleResult:
     edges = list(zip(scored.loc[scored["is_edge"], "url_1"],
                      scored.loc[scored["is_edge"], "url_2"])) \
         if len(scored) else []
-    clusters = connected_components(mentions["url"].tolist(), edges)
+    clusters = connected_components(mentions, edges)
     golden_text = pd.DataFrame({
         "url": mentions["url"],
         "text_sha256": [hashlib.sha256(t.encode("utf-8")).hexdigest()

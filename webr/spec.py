@@ -14,8 +14,11 @@ Anything here changes => goldens change; bump SCORING_VERSION.
 # v2: minhash = affine maps over one base md5/shingle
 # v3: weight arrays keyed by int64 token_hash ids (md5[:15]), hash-sorted
 # v4: minhash base hash = crc32, affine maps vectorized (31-bit coeffs)
-SCORING_VERSION = "v5"  # v5: tokenize closed under lower() (NFKD can
-                        # surface uppercase ASCII from modifier letters)
+# v5: tokenize closed under lower() (NFKD can surface uppercase ASCII
+#     from modifier letters)
+SCORING_VERSION = "v6"  # v6: cannot-link constraint replay after CC
+                        # (webr.constraints) — clusters are all-pairs
+                        # name-compatible; vetoed bridges revert to noise
 
 # clustering thresholds (ref author_disambiguation.py:16-17)
 EPS = 0.85          # edge iff score >= EPS

@@ -169,6 +169,57 @@ def generate_pages(n_entities: int = 40, pages_per_entity: int = 50,
     return pages
 
 
+BRIDGE_JOHN, BRIDGE_JANE, BRIDGE_INITIAL = 900, 901, 902
+
+
+def generate_bridge_pages(seed: int = 1234, n_side: int = 6,
+                          n_bridge: int = 3) -> list[dict]:
+    """Adversarial cannot-link fixture (C2/W2): two entities with
+    INCOMPATIBLE full first names ('John Brookstone' vs 'Jane Brookstone')
+    share one host AND one topic vocabulary, so their pages have high
+    tf-idf cosine but never link directly (compat hard gate). ``n_bridge``
+    initial-only 'J Brookstone' pages are compatible with BOTH and
+    content-link to both — pure connected components would transitively
+    merge everything; the constrained replay must keep john and jane apart.
+
+    The trio rides on a background corpus (generate_pages) so its shared
+    vocabulary has real idf weight: in a trio-only corpus every core token
+    appears in every page (idf = 0) and tf-idf cosine degenerates."""
+    pages = generate_pages(n_entities=8, pages_per_entity=8, seed=seed)
+    rng = random.Random(seed + 1)
+    vocab = rng.sample(TOPIC_VOCAB, 24)
+    host = "bridge.example.org"  # not in HOST_POOL; 'brookstone' not in
+    #                              LAST_NAMES -> no background interference
+
+    def page(i: int, display_name: str, entity_id: int) -> dict:
+        title_toks = rng.sample(vocab, 3)
+        body_toks = [rng.choice(vocab) for _ in range(120)]
+        rng.shuffle(body_toks)
+        body = " ".join(body_toks)
+        title = " ".join(title_toks)
+        url = f"https://{host}/b/brookstone-{i:04d}"
+        html = (f"<html><head><title>{title}</title></head><body>"
+                f"<h1>{display_name}</h1><p>{body}</p></body></html>")
+        ts = EPOCH + dt.timedelta(seconds=311 * i)
+        return {
+            "url": url, "warc_ts": ts, "html": html.encode("utf-8"),
+            "text": "", "lang": "eng", "entity_id": entity_id,
+            "author_name": display_name, "doc_id": url,
+        }
+
+    i = 0
+    for _ in range(n_side):
+        pages.append(page(i, "John Brookstone", BRIDGE_JOHN))
+        i += 1
+    for _ in range(n_side):
+        pages.append(page(i, "Jane Brookstone", BRIDGE_JANE))
+        i += 1
+    for _ in range(n_bridge):
+        pages.append(page(i, "J Brookstone", BRIDGE_INITIAL))
+        i += 1
+    return pages
+
+
 def pages_to_pandas(pages: list[dict]):
     import pandas as pd
     df = pd.DataFrame(pages)
