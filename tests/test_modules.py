@@ -199,3 +199,33 @@ def test_multimodal_raise_stub(spark, corpus_pd):
     with pytest.raises(Exception, match="codec"):
         extract_media_meta(pages_as_media(pages),
                            decode_stub="raise").collect()
+
+
+# --- connected components: distributed final pass (_resolve) ------------------
+
+def test_cc_resolve_matches_single_task(spark):
+    """Force the residual-forest budget to 0 so the ladder finishes via the
+    distributed min-label propagation instead of the single final task; the
+    labels must be identical. Graph: chains + stars + cross-partition
+    bridges scattered over many partitions."""
+    from webr.cluster import connected_components
+    edges = []
+    # 40 chains of length 6 (urls interleaved so partitions cut chains)
+    for c in range(40):
+        for i in range(5):
+            edges.append((f"u{i * 40 + c:04d}", f"u{(i + 1) * 40 + c:04d}"))
+    # a star and a bridge merging two chains
+    for i in range(10):
+        edges.append(("star-center", f"star-leaf-{i}"))
+    edges.append(("u0000", "u0001"))
+    df = (spark.createDataFrame(edges, "url_1 string, url_2 string")
+          .repartition(16))
+    single = (connected_components(df, final_rows_max=10**9).toPandas()
+              .sort_values("url").reset_index(drop=True))
+    dist = (connected_components(df, final_rows_max=0).toPandas()
+            .sort_values("url").reset_index(drop=True))
+    assert list(single.url) == list(dist.url)
+    assert list(single.rep) == list(dist.rep)
+    # reps are component minima
+    mins = single.groupby("rep")["url"].min()
+    assert (mins.index == mins.values).all()

@@ -18,16 +18,21 @@ with accumulated checkpoint state — the tail iterations dominated wall
 time. The reduction ladder does O(log_8 P) passes of pure mapPartitions
 work with total I/O O(E + V log P).
 
-Scale note (10^12 docs): the ladder's last partition must hold the
-remaining forest (one entry per linked vertex). Web-scale entity graphs
-reduce enormously (components are entity-sized), and the coalesce factor
-bounds per-pass partition payload; if the final forest still exceeded one
-task's memory, shard the final pass by component fingerprint and iterate —
-the code isolates that in `_resolve`.
+Scale note (10^12 docs): the ladder's second-to-last step leaves the
+remaining forest (one entry per linked vertex per surviving partition).
+Web-scale entity graphs reduce enormously (components are entity-sized),
+so the single-task final pass is usually fine — but it is guarded: when
+the residual forest exceeds ``WEBR_CC_FINAL_ROWS_MAX`` rows, ``_resolve``
+finishes the merge fully distributed (min-label propagation over the
+partial forests to fixpoint). Partial forests are depth-1 stars, so the
+label graph's diameter is bounded by the handful of partitions being
+merged and propagation converges in a few rounds, each a plain shuffle —
+no single task ever has to hold the forest.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -69,18 +74,66 @@ def _forest_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"url": verts, "rep": [find(v) for v in verts]})
 
 
-def connected_components(edges: DataFrame, fanin: int = 8) -> DataFrame:
+# residual-forest rows above which the ladder's final pass switches from
+# one in-memory union-find task to distributed min-label propagation
+CC_FINAL_ROWS_MAX = int(os.environ.get("WEBR_CC_FINAL_ROWS_MAX",
+                                       "50000000"))
+
+
+def _resolve(forest: DataFrame) -> DataFrame:
+    """Distributed final merge of conflicting partial forests: (url, rep)
+    rows from several partitions may assign one vertex different local
+    roots; those conflicts ARE the remaining merge edges. Min-label
+    propagation over the undirected forest edges to fixpoint — every
+    round one groupBy-min per direction — yields rep = global component
+    min without any single task holding the forest. Partial forests are
+    depth-1 stars (vertex -> local min), so rounds ~ number of merged
+    partitions, not graph diameter."""
+    # self rows (url == rep, roots) stay in: they guarantee every vertex
+    # appears in the label table even if nothing else points at it
+    e = (forest.select(F.col("url").alias("a"), F.col("rep").alias("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    lab = (und.groupBy("a").agg(F.min("b").alias("lab"))
+           .select(F.col("a").alias("v"),
+                   F.least("a", "lab").alias("lab"))
+           .localCheckpoint(eager=True))
+    while True:
+        prop = (und.join(lab, und.a == lab.v)
+                .select(F.col("b").alias("v"), "lab"))
+        new = (prop.unionByName(lab)
+               .groupBy("v").agg(F.min("lab").alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(lab.select(F.col("v").alias("v2"),
+                                       F.col("lab").alias("old")),
+                            new.v == F.col("v2"))
+                   .where(F.col("lab") != F.col("old")).count())
+        lab = new
+        if changed == 0:
+            break
+    return lab.select(F.col("v").alias("url"), F.col("lab").alias("rep"))
+
+
+def connected_components(edges: DataFrame, fanin: int = 8,
+                         final_rows_max: int | None = None) -> DataFrame:
     """edges: (url_1, url_2). Returns (url, rep) for every url that appears
     in an edge; rep = min id of its component.
 
     Reduction ladder: each partition's spanning forest is ≤ one row per
     vertex; partitions coalesce fanin:1 and repeat until one partition
     resolves the global forest — O(log_fanin P) passes, Arrow-batched.
+    If the residual forest entering the final single-partition pass
+    exceeds ``final_rows_max`` rows, ``_resolve`` finishes distributed
+    instead (identical output, tested).
 
     Each pass is materialized via eager localCheckpoint BEFORE the next
     coalesce: a narrow coalesce over a lazy plan would otherwise collapse
     the upstream passes into the final task and execute the whole ladder
     (parquet scan included) serially — the classic coalesce(1) trap."""
+    if final_rows_max is None:
+        final_rows_max = CC_FINAL_ROWS_MAX
     first = edges.schema.fields[0].dataType.simpleString()
     out_schema = f"url {first}, rep {first}"
     n = edges.rdd.getNumPartitions()
@@ -88,6 +141,8 @@ def connected_components(edges: DataFrame, fanin: int = 8) -> DataFrame:
            .localCheckpoint(eager=True))
     while n > 1:
         n = max(1, n // fanin)
+        if n == 1 and out.count() > final_rows_max:
+            return _resolve(out)
         out = (out.coalesce(n).mapInPandas(_forest_map, out_schema)
                .localCheckpoint(eager=True))
     return out

@@ -117,9 +117,13 @@ def _build_mention_feats_join(mentions: DataFrame,
     h = ("cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)")
     tf = (mentions.select("url", F.explode("body_toks").alias("token"))
           .groupBy("url", "token").agg(F.count("*").alias("tf")))
+    # second groupBy on the hash: distinct tokens colliding under the
+    # 60-bit hash merge into one entry (sum of weights), mirroring
+    # weight_arrays so the arrays are truly unique per url
     w = (tf.join(F.broadcast(idf.select("token", "idf")), "token", "left")
          .select("url", F.expr(h).alias("h"),
-                 (F.col("tf") * F.coalesce("idf", F.lit(0.0))).alias("wv")))
+                 (F.col("tf") * F.coalesce("idf", F.lit(0.0))).alias("wv"))
+         .groupBy("url", "h").agg(F.sum("wv").alias("wv")))
     arrays = (w.groupBy("url")
               .agg(F.sort_array(F.collect_list(
                   F.struct("h", "wv"))).alias("tw"))
@@ -132,7 +136,9 @@ def _build_mention_feats_join(mentions: DataFrame,
     slim = mentions.select(
         "url", "doc_id", "host", "first", "middle", "last", "name_norm",
         "title_toks")
-    out = (slim.join(arrays, "url", "left")
+    # shuffle_hash: sorting the fat weight-array rows for a sort-merge
+    # join is pure overhead; scoped here, not session-wide
+    out = (slim.join(arrays.hint("shuffle_hash"), "url", "left")
            .select("url", "doc_id", "host", "first", "middle", "last",
                    "name_norm", "title_toks",
                    F.coalesce("w_toks", F.array().cast("array<bigint>"))
@@ -187,7 +193,8 @@ def attach_sides(pairs: DataFrame, mention_feats: DataFrame) -> DataFrame:
                   *[F.col(c).alias(f"{c}_1") for c in SIDE_COLS])
     m2 = m.select(F.col("url").alias("url_2"),
                   *[F.col(c).alias(f"{c}_2") for c in SIDE_COLS])
-    out = pairs.join(m1, "url_1").join(m2, "url_2")
+    out = (pairs.join(m1.hint("shuffle_hash"), "url_1")
+           .join(m2.hint("shuffle_hash"), "url_2"))
     return out.select([f.name for f in schema.PAIRS.fields])
 
 
@@ -246,13 +253,21 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
             .select(F.pmod(F.xxhash64("bk"), F.lit(groups)).alias("gk"),
                     "url")
             .distinct())
-    side = urls.join(mention_feats, "url")
+    # shuffle_hash: never sort the fat weight-array side (scoped hint —
+    # see webr/session.py note)
+    side = urls.join(mention_feats.hint("shuffle_hash"), "url")
 
     def score_group(pairs_pdf: pd.DataFrame,
                     memb_pdf: pd.DataFrame) -> pd.DataFrame:
         idx = pd.Index(memb_pdf["url"])
         i1 = idx.get_indexer(pairs_pdf["url_1"])
         i2 = idx.get_indexer(pairs_pdf["url_2"])
+        # get_indexer returns -1 for a url missing from the membership
+        # frame, which would silently attach the LAST member's features
+        # to that pair; membership derives from this same pairs frame so
+        # it cannot happen today — keep it that way loudly
+        if (i1 < 0).any() or (i2 < 0).any():
+            raise ValueError("pair url missing from group membership")
         sided = pairs_pdf[["url_1", "url_2", "block_key"]].copy()
         for c in side_cols:
             v = memb_pdf[c].to_numpy()

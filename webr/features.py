@@ -67,35 +67,46 @@ def weight_arrays(tokens: list[str],
         tf[t] = tf.get(t, 0) + 1
     entries = sorted((token_hash(t), c * idf.get(t, 0.0))
                      for t, c in tf.items())
-    vals = [v for _, v in entries]
+    # merge distinct tokens colliding under the 60-bit hash (weights sum
+    # in sorted-(hash, weight) order) so the arrays are truly unique —
+    # the cosine's searchsorted merge requires it, and the JVM twin
+    # (engine join fallback) groups by hash the same way
+    merged: list[tuple[int, float]] = []
+    for h, v in entries:
+        if merged and merged[-1][0] == h:
+            merged[-1] = (h, merged[-1][1] + v)
+        else:
+            merged.append((h, v))
+    vals = [v for _, v in merged]
     acc = 0.0
     for v in vals:
         acc += v * v
-    return [h for h, _ in entries], vals, math.sqrt(acc)
+    return [h for h, _ in merged], vals, math.sqrt(acc)
 
 
 def sparse_cosine_sorted(t1, v1, n1: float, t2, v2, n2: float) -> float:
-    """L2-normalized dot over the intersection of two sorted token-id
-    arrays; 0.0 if either norm is 0 (ref classifier/
-    feature_vector_bow.py:23-60). The intersection runs in C
-    (np.intersect1d over the sorted unique ids); the dot still accumulates
-    as an in-order Python fold over ascending ids — the SAME order a
-    sorted-merge loop would use, so the float64 result is bit-identical to
-    it and between oracle and engine."""
+    """L2-normalized dot over the intersection of two sorted UNIQUE
+    token-id arrays (weight_arrays merges hash collisions, so uniqueness
+    holds by construction); 0.0 if either norm is 0 (ref classifier/
+    feature_vector_bow.py:23-60). The intersection runs in C via
+    searchsorted on the sorted ids (cheaper than intersect1d's
+    concat+argsort), and the dot is numpy's deterministic pairwise sum
+    over ascending ids — oracle and engine call this exact function, so
+    scores stay bit-identical across them."""
     if n1 == 0.0 or n2 == 0.0:
         return 0.0
     a1 = np.asarray(t1, dtype=np.int64)
     a2 = np.asarray(t2, dtype=np.int64)
-    _, i1, i2 = np.intersect1d(a1, a2, assume_unique=True,
-                               return_indices=True)
-    if len(i1) == 0:
+    if len(a1) == 0 or len(a2) == 0:
         return 0.0
-    prods = (np.asarray(v1, dtype=np.float64)[i1]
-             * np.asarray(v2, dtype=np.float64)[i2])
-    dot = 0.0
-    for p in prods.tolist():
-        dot += p
-    return dot / (n1 * n2)
+    idx = np.searchsorted(a1, a2)
+    idx[idx == len(a1)] = 0  # out-of-range probes -> mask kills them
+    mask = a1[idx] == a2
+    if not mask.any():
+        return 0.0
+    prods = (np.asarray(v1, dtype=np.float64)[idx[mask]]
+             * np.asarray(v2, dtype=np.float64)[mask])
+    return float(np.sum(prods)) / (n1 * n2)
 
 
 def host_similarity(ha: str, hb: str) -> float:
@@ -125,15 +136,27 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     edge_l = [False] * n
 
     cols = {c: pairs[c].tolist() for c in (
-        "doc_id_1", "doc_id_2", "name_norm_1", "name_norm_2",
+        "url_1", "url_2", "doc_id_1", "doc_id_2",
+        "name_norm_1", "name_norm_2",
         "first_1", "first_2", "middle_1", "middle_2", "last_1", "last_2",
         "title_toks_1", "title_toks_2", "host_1", "host_2",
         "w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
         "w_norm_1", "w_norm_2")}
-    # w_* arrays go straight to the numpy cosine kernel (no per-pair
-    # conversion); title tokens become plain lists for the set Jaccard.
+    # title tokens become plain lists for the set Jaccard
     for c in ("title_toks_1", "title_toks_2"):
         cols[c] = [x if isinstance(x, list) else x.tolist() for x in cols[c]]
+
+    # weight arrays convert to int64/float64 numpy ONCE per distinct
+    # mention per batch (keyed by url): with pair-degree ~25 the per-pair
+    # asarray conversions were the cosine path's dominant cost
+    arr_memo: dict = {}
+
+    def arrs_of(u, t, v):
+        r = arr_memo.get(u)
+        if r is None:
+            r = arr_memo[u] = (np.asarray(t, dtype=np.int64),
+                               np.asarray(v, dtype=np.float64))
+        return r
 
     # memo tables: names/hosts repeat heavily across a block's pairs, and
     # jaro_winkler / soundex / host_similarity are pure + symmetric, so
@@ -176,9 +199,12 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
         sxa, sxb = sx_of(cols["last_1"][i]), sx_of(cols["last_2"][i])
         sx = 1.0 if (sxa and sxa == sxb) else 0.0
         tj = jaccard(set(cols["title_toks_1"][i]), set(cols["title_toks_2"][i]))
-        bc = sparse_cosine_sorted(
-            cols["w_toks_1"][i], cols["w_vals_1"][i], cols["w_norm_1"][i],
-            cols["w_toks_2"][i], cols["w_vals_2"][i], cols["w_norm_2"][i])
+        t1a, v1a = arrs_of(cols["url_1"][i],
+                           cols["w_toks_1"][i], cols["w_vals_1"][i])
+        t2a, v2a = arrs_of(cols["url_2"][i],
+                           cols["w_toks_2"][i], cols["w_vals_2"][i])
+        bc = sparse_cosine_sorted(t1a, v1a, cols["w_norm_1"][i],
+                                  t2a, v2a, cols["w_norm_2"][i])
         hs = hs_of(cols["host_1"][i], cols["host_2"][i])
         raw = (spec.W_NAME_JW * jw + spec.W_SOUNDEX * sx
                + spec.W_TITLE_JAC * tj + spec.W_BODY_COS * bc

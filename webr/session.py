@@ -53,9 +53,11 @@ def get_spark(app: str = "webr", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # wide-row joins (pair sides carry weight arrays): hash join beats
-        # sorting the fat side; sort-merge stays available to AQE if needed
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # NOTE: wide-row joins (sides carrying weight arrays) use explicit
+        # per-join SHUFFLE_HASH hints at the call sites instead of a
+        # session-wide preferSortMergeJoin=false — ShuffledHashJoin has no
+        # sort-based spill fallback, so forcing it globally risks OOM on
+        # large non-broadcastable build sides unrelated to the fat rows
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory",

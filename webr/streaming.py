@@ -95,12 +95,15 @@ def _assign_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
         reps, firsts, middles = [], [], []
     bk = key[0]
     out_rows: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        # arrival order within a micro-batch is not deterministic after a
-        # shuffle — pin it (url order) so replays produce identical state
-        pdf = pdf.sort_values("url")
-        for url, first, middle in zip(pdf["url"], pdf["first"],
-                                      pdf["middle"]):
+    # arrival order within a micro-batch is not deterministic after a
+    # shuffle, and a large group arrives as MULTIPLE Arrow chunks with
+    # nondeterministic boundaries — concatenate the whole group FIRST,
+    # then sort once (url order) so replays produce identical state
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        rows = pd.concat(chunks, ignore_index=True).sort_values("url")
+        for url, first, middle in zip(rows["url"], rows["first"],
+                                      rows["middle"]):
             hit = None
             for i, r in enumerate(reps):
                 if names_compatible(first, middle, firsts[i], middles[i]):
