@@ -229,3 +229,88 @@ def test_cc_resolve_matches_single_task(spark):
     # reps are component minima
     mins = single.groupby("rep")["url"].min()
     assert (mins.index == mins.values).all()
+
+
+# --- warehouse MERGE/upsert (K4) ----------------------------------------------
+
+def test_warehouse_merge_upsert(spark, warehouse_dir):
+    """K4 MERGE semantics: incoming rows replace same-key rows, others are
+    kept, new keys insert; the manifest chains the parent snapshot."""
+    from webr.catalog import Warehouse
+    wh = Warehouse(spark, warehouse_dir)
+    v1 = spark.createDataFrame(
+        [(1, "alice", 3), (2, "bob", 5), (3, "carol", 2)],
+        "cluster_id long, canonical_name string, n_members long")
+    wh.write("entities", v1, snapshot="snap-v1")
+    upd = spark.createDataFrame(
+        [(2, "robert", 6), (4, "dave", 2)],
+        "cluster_id long, canonical_name string, n_members long")
+    out = (wh.merge("entities", upd, keys=["cluster_id"],
+                    snapshot="snap-v2").toPandas()
+           .sort_values("cluster_id").reset_index(drop=True))
+    assert list(out.cluster_id) == [1, 2, 3, 4]
+    assert list(out.canonical_name) == ["alice", "robert", "carol", "dave"]
+    assert list(out.n_members) == [3, 6, 2, 2]
+    man = wh.manifest("entities")
+    assert man["table"] == "entities"
+    assert man["snapshot"] == "snap-v2"
+    assert man["lineage"]["parent"] == "snap-v1"
+    assert man["lineage"]["merge_keys"] == ["cluster_id"]
+    assert man["rows"] == 4
+    # merging into a missing table degrades to a plain write
+    wh.merge("fresh", upd, keys=["cluster_id"], snapshot="snap-f1")
+    assert wh.manifest("fresh")["snapshot"] == "snap-f1"
+
+
+def test_learned_blocking_cnf(spark):
+    from webr.blocking_learn import evaluate_scheme, learn_cnf
+    # pred_a / pred_b each admit all matches plus DIFFERENT noise slices;
+    # their conjunction keeps PC=1 while shrinking candidates (RR up).
+    rows = []
+    for i in range(600):
+        match = i % 12 == 0                       # 50 matches
+        pred_a = match or (i % 5 == 1)            # matches + noise A
+        pred_b = match or (i % 7 == 2)            # matches + noise B
+        pred_none = True                          # admits everything
+        rows.append((match, pred_a, pred_b, pred_none))
+    pairs = spark.createDataFrame(
+        rows, "match boolean, pred_a boolean, pred_b boolean, "
+              "pred_none boolean")
+    steps = learn_cnf(pairs, ["pred_a", "pred_b", "pred_none"])
+    assert steps, "learner must conjoin at least one predicate"
+    final = steps[-1]
+    assert set(final.predicates) == {"pred_a", "pred_b"}
+    assert "pred_none" not in final.predicates    # rr gain 0: never helps
+    assert final.pc == 1.0                        # conjunction kept matches
+    # conjunction beats each single predicate
+    assert final.rr > evaluate_scheme(pairs, ["pred_a"]).rr
+    assert final.f >= evaluate_scheme(pairs, ["pred_a"]).f
+    # rr_at_pc gain: maximize RR subject to PC floor
+    steps2 = learn_cnf(pairs, ["pred_a", "pred_b", "pred_none"],
+                       gain="rr_at_pc", min_pc=0.99)
+    assert steps2 and steps2[-1].pc >= 0.99
+    assert steps2[-1].rr >= final.rr - 1e-12
+
+
+def test_entities_host_containment_dedup(spark):
+    """A6: top hosts are deduped by substring containment in rank order
+    (ref import_clusters.py:148-166) — 'a.mega.org' collapses into the
+    higher-ranked 'mega.org'; an unrelated host survives."""
+    from webr.engine import build_entities
+    rows = []
+    hosts = (["mega.org"] * 5 + ["a.mega.org"] * 4 + ["other.net"] * 3
+             + ["b.mega.org"] * 2)
+    for i, h in enumerate(hosts):
+        rows.append((f"u{i:02d}", f"u{i:02d}", h, "jane doe", "jane", "",
+                     "doe", ["t"], ["tok"]))
+    mentions = spark.createDataFrame(
+        rows, "url string, doc_id string, host string, name_norm string, "
+              "first string, middle string, last string, "
+              "title_toks array<string>, body_toks array<string>")
+    idf = spark.createDataFrame([("tok", 0.5)], "token string, idf double")
+    clusters = spark.createDataFrame(
+        [(f"u{i:02d}", 1, False) for i in range(len(hosts))],
+        "url string, cluster_id long, is_noise boolean")
+    ents = build_entities(mentions, idf, clusters).toPandas()
+    assert len(ents) == 1
+    assert list(ents.hosts[0]) == ["mega.org", "other.net"]

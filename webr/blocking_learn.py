@@ -1,12 +1,20 @@
 """Learned-blocking experiment (SURVEY §2.9 M4, §2.4 A10/A11; ref
-train_blocking.py:14-49 metrics, :266-445 greedy DNF learner).
+train_blocking.py:14-49 metrics, :81-263 CNF and DNF schemes with
+multiple gain functions, :266-445 greedy learner).
 
-The reference greedily assembles a DNF of cheap boolean predicates over
-labeled author pairs, scoring each candidate scheme by the harmonic mean of
-Reduction Ratio and Pairs Completeness. Here the conditional counts per
-candidate predicate run as Spark boolean aggregates in ONE pass per greedy
-step (ref computes them with pandas column ops, :270-302); the greedy loop
-itself stays driver-side exactly like the reference's.
+The reference greedily assembles a DNF (union of predicates) or CNF
+(intersection of predicates) blocking scheme over labeled author pairs,
+scoring each candidate scheme by a gain function over Reduction Ratio and
+Pairs Completeness. Here the conditional counts per candidate predicate
+run as Spark boolean aggregates in ONE pass per greedy step (ref computes
+them with pandas column ops, :270-302); the greedy loop itself stays
+driver-side exactly like the reference's.
+
+Gain functions (ref :14-49 exposes several; same three shapes):
+  "f"        harmonic mean of RR and PC (the default),
+  "weighted" alpha*RR + (1-alpha)*PC,
+  "rr_at_pc" RR subject to PC >= min_pc (infeasible schemes rank by PC
+             below every feasible one).
 
 Input: a DataFrame of labeled candidate pairs with boolean predicate
 columns and a boolean match column. Works unchanged at any scale — each
@@ -33,6 +41,17 @@ def _f(rr: float, pc: float) -> float:
     return 2 * rr * pc / (rr + pc) if (rr + pc) > 0 else 0.0
 
 
+def _gain(rr: float, pc: float, gain: str = "f", min_pc: float = 0.9,
+          alpha: float = 0.5) -> float:
+    if gain == "f":
+        return _f(rr, pc)
+    if gain == "weighted":
+        return alpha * rr + (1.0 - alpha) * pc
+    if gain == "rr_at_pc":
+        return rr if pc >= min_pc else pc - 1.0
+    raise ValueError(f"unknown gain {gain!r}")
+
+
 def evaluate_scheme(pairs: DataFrame, predicates: list[str],
                     match_col: str = "match") -> SchemeEval:
     """RR / PC / F of one DNF scheme (ref train_blocking.py:14-49)."""
@@ -50,41 +69,71 @@ def evaluate_scheme(pairs: DataFrame, predicates: list[str],
     return SchemeEval(list(predicates), rr, pc, _f(rr, pc))
 
 
-def learn_dnf(pairs: DataFrame, candidate_preds: list[str],
-              match_col: str = "match", max_terms: int = 4,
-              min_gain: float = 1e-9) -> list[SchemeEval]:
-    """Greedy DNF construction: at each step add the predicate whose union
-    with the current scheme maximizes F; stop when no candidate improves F
-    by min_gain or max_terms is reached. Returns the eval after each added
-    term (last entry = final scheme). One Spark aggregation per step
-    evaluates ALL remaining candidates at once."""
+def _learn_greedy(pairs: DataFrame, candidate_preds: list[str],
+                  combine, seed_expr, seed_rr_pc, match_col: str,
+                  max_terms: int, min_gain: float, gain: str,
+                  min_pc: float, alpha: float) -> list[SchemeEval]:
+    """Shared greedy loop: at each step add the predicate whose
+    ``combine`` (| for DNF, & for CNF) with the current scheme maximizes
+    the gain function; stop when no candidate improves by min_gain or
+    max_terms is reached. Returns the eval after each added term (last
+    entry = final scheme). One Spark aggregation per step evaluates ALL
+    remaining candidates at once."""
     chosen: list[str] = []
-    cur = F.lit(False)
-    cur_f = 0.0
+    cur = seed_expr
+    cur_g = _gain(*seed_rr_pc, gain, min_pc, alpha)
     steps: list[SchemeEval] = []
     remaining = list(candidate_preds)
     while remaining and len(chosen) < max_terms:
         aggs = [F.count("*").alias("n"),
                 F.sum(F.col(match_col).cast("long")).alias("pos")]
         for i, p in enumerate(remaining):
-            u = cur | F.col(p)
+            u = combine(cur, F.col(p))
             aggs.append(F.sum(u.cast("long")).alias(f"c{i}"))
             aggs.append(F.sum((u & F.col(match_col)).cast("long"))
                         .alias(f"cp{i}"))
         row = pairs.agg(*aggs).collect()[0]
         n, pos = row["n"], row["pos"]
-        best_i, best = -1, None
+        best_i, best, best_g = -1, None, None
         for i in range(len(remaining)):
             rr = 1.0 - row[f"c{i}"] / n if n else 0.0
             pc = row[f"cp{i}"] / pos if pos else 1.0
-            f = _f(rr, pc)
-            if best is None or f > best.f:
+            g = _gain(rr, pc, gain, min_pc, alpha)
+            if best is None or g > best_g:
                 best_i = i
-                best = SchemeEval(chosen + [remaining[i]], rr, pc, f)
-        if best is None or best.f <= cur_f + min_gain:
+                best_g = g
+                best = SchemeEval(chosen + [remaining[i]], rr, pc,
+                                  _f(rr, pc))
+        if best is None or best_g <= cur_g + min_gain:
             break
         chosen.append(remaining.pop(best_i))
-        cur = cur | F.col(chosen[-1])
-        cur_f = best.f
+        cur = combine(cur, F.col(chosen[-1]))
+        cur_g = best_g
         steps.append(best)
     return steps
+
+
+def learn_dnf(pairs: DataFrame, candidate_preds: list[str],
+              match_col: str = "match", max_terms: int = 4,
+              min_gain: float = 1e-9, gain: str = "f",
+              min_pc: float = 0.9, alpha: float = 0.5) -> list[SchemeEval]:
+    """Greedy DNF (union-of-predicates) scheme — candidate pair iff ANY
+    chosen predicate holds (ref train_blocking.py:266-445)."""
+    # empty DNF admits nothing: rr=1, pc=0
+    return _learn_greedy(pairs, candidate_preds, lambda a, b: a | b,
+                         F.lit(False), (1.0, 0.0), match_col, max_terms,
+                         min_gain, gain, min_pc, alpha)
+
+
+def learn_cnf(pairs: DataFrame, candidate_preds: list[str],
+              match_col: str = "match", max_terms: int = 4,
+              min_gain: float = 1e-9, gain: str = "f",
+              min_pc: float = 0.9, alpha: float = 0.5) -> list[SchemeEval]:
+    """Greedy CNF (intersection-of-predicates) scheme — candidate pair iff
+    EVERY chosen predicate holds (ref train_blocking.py:81-263's CNF
+    variant): starts from the all-pairs scheme and conjoins the predicate
+    with the best gain each step, trading PC for RR."""
+    # empty CNF admits everything: rr=0, pc=1
+    return _learn_greedy(pairs, candidate_preds, lambda a, b: a & b,
+                         F.lit(True), (0.0, 1.0), match_col, max_terms,
+                         min_gain, gain, min_pc, alpha)

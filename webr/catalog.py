@@ -92,6 +92,47 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(table), "data"))
 
+    def merge(self, table: str, df: DataFrame, keys: list[str],
+              snapshot: str, lineage: dict | None = None) -> DataFrame:
+        """MERGE/upsert by key (K4: ref import_clusters.py:36-69,83-194
+        INSERTs canonical rows and UPDATEs matching cluster assignments in
+        place; the Iceberg analog is MERGE INTO ... WHEN MATCHED UPDATE
+        WHEN NOT MATCHED INSERT). Incoming rows replace existing rows with
+        the same key tuple; everything else is kept. The new manifest
+        records the replaced snapshot as ``parent`` — snapshot lineage
+        stays a chain, so resume logic still refuses stale upstreams.
+
+        Distributed shape: one left_anti join on the key columns + union —
+        no collect, scales with the table. On a real catalog this maps to
+        MERGE INTO and this facade keeps the call shape."""
+        cur = self.manifest(table)
+        if cur is None:
+            return self.write(table, df, snapshot, lineage)
+        existing = self.read(table)
+        merged = (existing.join(df.select(keys).distinct(), keys,
+                                "left_anti")
+                  .unionByName(df.select(existing.columns)))
+        # stage through a sibling dir: the merged plan lazily reads the
+        # files write() would delete
+        tmp = f"{table}__merge_tmp"
+        lin = dict(lineage or {})
+        lin["parent"] = cur["snapshot"]
+        lin["merge_keys"] = keys
+        self.write(tmp, merged, snapshot, lin)
+        staged = os.path.join(self._dir(tmp), "data")
+        final = self._dir(table)
+        shutil.rmtree(final)
+        os.makedirs(final)
+        os.rename(staged, os.path.join(final, "data"))
+        os.rename(self._manifest_path(tmp), self._manifest_path(table))
+        shutil.rmtree(self._dir(tmp), ignore_errors=True)
+        # manifest 'table' field still says __merge_tmp; fix it
+        man = self.manifest(table)
+        man["table"] = table
+        with open(self._manifest_path(table), "w") as f:
+            json.dump(man, f, indent=1)
+        return self.read(table)
+
     def drop(self, table: str) -> None:
         d = self._dir(table)
         if os.path.exists(d):

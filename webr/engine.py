@@ -324,8 +324,18 @@ def build_entities(mentions: DataFrame, idf: DataFrame,
         F.sum(F.when(F.col("kind") == "name", F.col("cnt"))
               .otherwise(F.lit(0))).alias("n_members"),
         F.expr("transform(array_sort(collect_list(case when kind = 'host' "
-               "and rn <= 3 then struct(rn, val) end)), x -> x.val)")
-        .alias("hosts")))
+               "and rn <= 8 then struct(rn, val) end)), x -> x.val)")
+        .alias("hosts8")))
+    # top-3 hosts after substring-containment dedup in rank order (A6,
+    # ref import_clusters.py:148-166 dedups top affils the same way:
+    # 'sub.mega.example.com' and 'mega.example.com' collapse to the
+    # higher-ranked one), so we over-collect 8 and keep 3 survivors
+    stats = (stats.withColumn(
+        "hosts",
+        F.expr("slice(filter(hosts8, (x, i) -> i = 0 OR NOT exists("
+               "slice(hosts8, 1, i), "
+               "y -> instr(y, x) > 0 OR instr(x, y) > 0)), 1, 3)"))
+        .drop("hosts8"))
 
     # cluster BoW profile: sum member tf*idf per token, keep top-N (A5).
     # idf(token) is constant across members, so sum(tf)*idf == the

@@ -171,6 +171,113 @@ WHERE len(tset) >= 1 ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash + banded Hamming near-dup pairs. The 16-bit signature
+# above is the cheap corpus fingerprint; at 100 TB it collides massively,
+# so the scale path is this one: 64 bits as FOUR 16-bit words (md5 hex
+# chars 1-4 / 5-8 / 9-12 / 13-16 per token, majority vote per bit),
+# candidate pairs share at least one exact word (pigeonhole: hamming <= 3
+# over 64 bits guarantees one of 4 words equal), verified by
+# bit_count(xor) <= 3. One explode + equi-join on (band, word) — never
+# all-pairs. Per-token md5 is hoisted into ONE transform (16x/64x rule).
+
+_SIMHASH64_HAM = 3
+
+
+def _spark_hquad() -> str:
+    """array per token: [w0, w1, w2, w3] 16-bit ints from one md5 call."""
+    def word(w: int) -> str:
+        return "+".join(
+            f"(instr('{_HEX}', substring(m, {4 * w + k + 1}, 1)) - 1) "
+            f"* {16 ** (3 - k)}"
+            for k in range(4))
+    quad = ", ".join(f"CAST(({word(w)}) AS INT)" for w in range(4))
+    return ("transform(transform(tset, t -> md5(t)), "
+            f"m -> array({quad}))")
+
+
+def _spark_sim64_word(w: int) -> str:
+    """Majority-vote 16-bit word w over the per-token hquad values."""
+    bits = " + ".join(
+        f"CAST(CASE WHEN aggregate(transform(hq, x -> CASE WHEN "
+        f"(x[{w}] div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END), "
+        f"0, (a, y) -> a + y) > 0 THEN {1 << j} ELSE 0 END AS INT)"
+        for j in range(16))
+    return f"CAST({bits} AS BIGINT)"
+
+
+def q_simhash64_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = (read(spark, sf, "documents")
+         .withColumn("tset",
+                     F.array_sort(F.array_distinct(
+                         F.expr(spark_tokens_nostop("text")))))
+         .where(F.size("tset") >= 1)
+         .withColumn("hq", F.expr(_spark_hquad()))
+         .select("doc_id",
+                 *[F.expr(_spark_sim64_word(w)).alias(f"w{w}")
+                   for w in range(4)]))
+    bands = F.array(*[
+        F.struct(F.lit(w).alias("band"), F.col(f"w{w}").alias("word"))
+        for w in range(4)])
+    memb = (d.withColumn("bw", F.explode(bands))
+            .select("doc_id", "w0", "w1", "w2", "w3",
+                    F.col("bw.band").alias("band"),
+                    F.col("bw.word").alias("word")))
+    a, b = memb.alias("a"), memb.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}")))
+        for w in range(4))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.word") == F.col("b.word"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_1"),
+                    F.col("b.doc_id").alias("doc_id_2"),
+                    ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= _SIMHASH64_HAM)
+            .distinct()
+            .orderBy("doc_id_1", "doc_id_2"))
+
+
+def _sql_simhash64_pairs() -> str:
+    def word(w: int) -> str:
+        v = "+".join(
+            f"(strpos('{_HEX}', substr(m, {4 * w + k + 1}, 1)) - 1) "
+            f"* {16 ** (3 - k)}"
+            for k in range(4))
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(hq, x -> CASE WHEN "
+            f"((x[{w + 1}]) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(16))
+        return v, bits
+
+    quad = ", ".join(word(w)[0] for w in range(4))
+    words = ", ".join(
+        f"CAST({word(w)[1]} AS BIGINT) AS w{w}" for w in range(4))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, w0, w1, w2, w3, {w} AS band, w{w} AS word FROM s"
+        for w in range(4))
+    ham = " + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(4))
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_transform(
+                    list_transform(
+                      list_sort(list_distinct({duck_tokens_nostop('text')})),
+                      t -> md5(t)),
+                    m -> [{quad}]) AS hq
+           FROM documents
+           WHERE len(list_distinct({duck_tokens_nostop('text')})) >= 1),
+s AS (SELECT doc_id, {words} FROM t),
+memb AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST({ham} AS BIGINT) AS hamming
+FROM memb a JOIN memb b
+  ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
+WHERE {ham} <= {_SIMHASH64_HAM}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram (token 3-shingle) Jaccard near-dup pairs, blocked by source with
 # the mega-block guard: one hot hostname at 100 TB must not turn the
 # self-join into O(n^2) — blocks over MAX_BLOCK_SIZE switch to the
@@ -285,7 +392,7 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     d = (read(spark, sf, "documents")
          .withColumn("toks", F.expr(spark_tokens("text")))
          .withColumn("n_stop", F.size(F.expr(
-             f"filter({spark_tokens('text')}, "
+             f"filter(toks, "
              f"x -> array_contains(array({_STOP_SQL}), x))"))))
     return (d.select(
         "doc_id", "lang",
@@ -497,10 +604,104 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("q_id", "rk"))
 
 
+# --- DuckDB oracles for the ANN scale paths ----------------------------------
+# The hyperplanes / centroids are deterministic md5-derived constants
+# (webr/similarity.py _plane), so they inline as literal arrays: the oracle
+# replays the exact same bucketing + rerank in SQL. Ranking on
+# round(cosine, 6) on both engines absorbs float summation-order noise.
+
+_ANN_DIM, _ANN_TABLES, _ANN_BITS, _ANN_K = 64, 6, 4, 5
+_IVF_LISTS, _IVF_PROBE = 16, 4
+
+
+def _duck_dot(col: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (f"list_sum(list_transform(list_zip({col}, {lit}), "
+            f"x -> x[1] * x[2]))")
+
+
+def _sql_ann_lsh_topk() -> str:
+    from webr.similarity import _plane
+    sig_rows = []
+    for t in range(_ANN_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_duck_dot('v', _plane(t * 64 + b, _ANN_DIM))}"
+            f" >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(_ANN_BITS))
+        sig_rows.append(
+            f"SELECT vec_id, v, ({bits}) + {t * (1 << _ANN_BITS)} AS sig "
+            f"FROM e")
+    esig = " UNION ALL ".join(sig_rows)
+    probes = ", ".join(["0"] + [str(1 << b) for b in range(_ANN_BITS)])
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+esig AS ({esig}),
+qsig AS (SELECT vec_id AS q_id, v AS qv, xor(sig, p.m) AS sig
+         FROM esig, (SELECT unnest([{probes}]) AS m) p
+         WHERE vec_id % 100 = 0),
+cand AS (SELECT DISTINCT q.q_id, e.vec_id
+         FROM qsig q JOIN esig e USING (sig)
+         WHERE e.vec_id <> q.q_id),
+cos AS (SELECT c.q_id, c.vec_id,
+               list_sum(list_transform(list_zip(q.v, e.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+               AS cos_raw
+        FROM cand c JOIN e q ON q.vec_id = c.q_id
+                    JOIN e ON e.vec_id = c.vec_id),
+rk AS (SELECT q_id, vec_id, cos_raw,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY round(cos_raw, 6) DESC, vec_id)
+              AS rk
+       FROM cos)
+SELECT q_id, vec_id, round(cos_raw, 4) AS cosine, rk
+FROM rk WHERE rk <= {_ANN_K} ORDER BY q_id, rk
+"""
+
+
+def _sql_ann_ivf_topk() -> str:
+    from webr.similarity import _plane
+    cell_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS list_id, "
+        f"{_duck_dot('v', _plane(1000 + i, _ANN_DIM))} AS dot FROM e"
+        for i in range(_IVF_LISTS))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+cells AS ({cell_rows}),
+ranked AS (SELECT vec_id, v, list_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dot DESC, list_id DESC)
+                  AS cr
+           FROM cells),
+ecell AS (SELECT vec_id, v, list_id AS cell FROM ranked WHERE cr = 1),
+qcell AS (SELECT vec_id AS q_id, v AS qv, list_id AS cell
+          FROM ranked WHERE cr <= {_IVF_PROBE} AND vec_id % 100 = 0),
+cos AS (SELECT q.q_id, e.vec_id,
+               list_sum(list_transform(list_zip(q.qv, e.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+               AS cos_raw
+        FROM qcell q JOIN ecell e USING (cell)
+        WHERE e.vec_id <> q.q_id),
+rk AS (SELECT q_id, vec_id, cos_raw,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY round(cos_raw, 6) DESC, vec_id)
+              AS rk
+       FROM cos)
+SELECT q_id, vec_id, round(cos_raw, 4) AS cosine, rk
+FROM rk WHERE rk <= {_ANN_K} ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -509,6 +710,6 @@ QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk()),
+    "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk()),
 }

@@ -506,6 +506,64 @@ FROM documents GROUP BY split ORDER BY split
 """
 
 
+# --- M3: classifier eval surface (PR curve) --------------------------------
+# (ref train_rf.py:218-236). Score = token-set jaccard over the bounded
+# candidate pairs; truth = same content fingerprint (as blocking_metrics).
+# Exercises webr.evalm.pr_curve with an exact integer-ratio oracle.
+
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from webr.evalm import pr_curve
+    d = (_docs_with_tokens(spark, sf)
+         .select("doc_id", "block_key", "tset",
+                 F.md5(F.array_join("tset", " ")).alias("fp")))
+    sides = d.select("doc_id", "tset", "fp")
+    p = (bounded_pair_ids(d)
+         .join(sides.select(F.col("doc_id").alias("doc_id_1"),
+                            F.col("tset").alias("tset_1"),
+                            F.col("fp").alias("fp_1")), "doc_id_1")
+         .join(sides.select(F.col("doc_id").alias("doc_id_2"),
+                            F.col("tset").alias("tset_2"),
+                            F.col("fp").alias("fp_2")), "doc_id_2"))
+    inter = F.size(F.array_intersect("tset_1", "tset_2"))
+    uni = F.size("tset_1") + F.size("tset_2") - inter
+    scored = p.select((inter / uni).alias("score"),
+                      (F.col("fp_1") == F.col("fp_2")).alias("match"))
+    return pr_curve(scored, decimals=2).orderBy(F.desc("thr"))
+
+
+SQL_PR_CURVE = f"""
+WITH d AS (SELECT doc_id, block_key, tset,
+                  md5(array_to_string(tset, ' ')) AS fp
+           FROM ({_DUCK_DOCS})),
+{duck_bounded_pairs("SELECT doc_id, block_key FROM d")},
+scored AS (
+  SELECT round(len(list_intersect(a.tset, b.tset))::DOUBLE /
+               (len(a.tset) + len(b.tset)
+                - len(list_intersect(a.tset, b.tset))), 2) AS thr,
+         (a.fp = b.fp)::INT AS m
+  FROM cand c JOIN d a ON a.doc_id = c.doc_id_1
+              JOIN d b ON b.doc_id = c.doc_id_2),
+g AS (SELECT thr, count(*) AS n, sum(m) AS pos FROM scored GROUP BY thr),
+cum AS (SELECT thr,
+               CAST(sum(n) OVER w AS BIGINT) AS n_pred,
+               CAST(sum(pos) OVER w AS BIGINT) AS n_tp,
+               (SELECT CAST(sum(m) AS BIGINT) FROM scored) AS tot_pos
+        FROM g
+        WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING))
+SELECT thr, n_pred, n_tp,
+       round(n_tp::DOUBLE / n_pred, 6) AS precision,
+       round(n_tp::DOUBLE / greatest(tot_pos, 1), 6) AS recall,
+       round(CASE WHEN n_tp::DOUBLE / n_pred
+                       + n_tp::DOUBLE / greatest(tot_pos, 1) > 0
+             THEN 2 * (n_tp::DOUBLE / n_pred)
+                    * (n_tp::DOUBLE / greatest(tot_pos, 1))
+                  / (n_tp::DOUBLE / n_pred
+                     + n_tp::DOUBLE / greatest(tot_pos, 1))
+             ELSE 0.0 END, 6) AS f1
+FROM cum ORDER BY thr DESC
+"""
+
+
 QUERIES = {
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "doc_blocking": (q_doc_blocking, SQL_DOC_BLOCKING),
@@ -518,4 +576,5 @@ QUERIES = {
     "source_mode_lang": (q_source_mode_lang, SQL_SOURCE_MODE_LANG),
     "blocking_metrics": (q_blocking_metrics, SQL_BLOCKING_METRICS),
     "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+    "pr_curve": (q_pr_curve, SQL_PR_CURVE),
 }

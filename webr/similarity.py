@@ -103,7 +103,10 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
             .where(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id", "qv", "v").distinct()
             .select("q_id", "vec_id", F.expr(_COS).alias("cosine")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # rank on the 6-decimal rounding so the DuckDB oracle (different
+    # float summation order) ranks identically
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_id"))
     return (cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k))
 
@@ -140,6 +143,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     cand = (q.join(e, "cell")
             .where(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id", F.expr(_COS).alias("cosine")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_id"))
     return (cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k))
