@@ -239,7 +239,6 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
     is already bounded by the sorted-neighborhood rule (O(n·W) pairs).
     """
     names = [f.name for f in schema.PAIR_SCORES.fields]
-    side_cols = SIDE_COLS
 
     p = pairs.select(
         "url_1", "url_2", "block_key",
@@ -259,6 +258,9 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
 
     def score_group(pairs_pdf: pd.DataFrame,
                     memb_pdf: pd.DataFrame) -> pd.DataFrame:
+        from webr.features import (
+            FEATURE_COLUMNS, MEMBER_COLUMNS, score_pairs_indexed,
+        )
         idx = pd.Index(memb_pdf["url"])
         i1 = idx.get_indexer(pairs_pdf["url_1"])
         i2 = idx.get_indexer(pairs_pdf["url_2"])
@@ -268,12 +270,14 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
         # it cannot happen today — keep it that way loudly
         if (i1 < 0).any() or (i2 < 0).any():
             raise ValueError("pair url missing from group membership")
-        sided = pairs_pdf[["url_1", "url_2", "block_key"]].copy()
-        for c in side_cols:
-            v = memb_pdf[c].to_numpy()
-            sided[f"{c}_1"] = v[i1]
-            sided[f"{c}_2"] = v[i2]
-        return score_pairs(sided)[names]
+        # member-indexed kernel: the 43-column sided frame is never
+        # materialized; fat arrays are touched once per member
+        memb = {c: memb_pdf[c].tolist() for c in MEMBER_COLUMNS}
+        out = score_pairs_indexed(memb, i1.tolist(), i2.tolist())
+        res = pairs_pdf[["url_1", "url_2", "block_key"]].copy()
+        for c in FEATURE_COLUMNS:
+            res[c] = out[c]
+        return res[names]
 
     return (p.groupby("gk")
             .cogroup(side.groupby("gk"))

@@ -120,14 +120,25 @@ def _sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
 
 
-def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
-    """Batched kernel. Input columns required (suffix _1/_2 per side):
-    url, doc_id, name_norm, first, middle, last, title_toks, host, and the
-    precomputed tf-idf arrays w_toks/w_vals/w_norm (built by weight_arrays
-    via a distributed idf join in the engine — no driver-side global
-    vocabulary is ever collected; SURVEY §4 broadcast-dict note, scaled up).
-    Returns input + FEATURE_COLUMNS."""
-    n = len(pairs)
+MEMBER_COLUMNS = ["url", "doc_id", "name_norm", "first", "middle", "last",
+                  "title_toks", "host", "w_toks", "w_vals", "w_norm"]
+
+
+def score_pairs_indexed(memb: dict, i1, i2) -> dict:
+    """Core batched kernel over a MEMBER table + pair index arrays.
+
+    ``memb``: column -> list over the batch's distinct mentions
+    (MEMBER_COLUMNS). ``i1``/``i2``: per-pair integer indexes into the
+    member table. Returns FEATURE_COLUMNS -> list.
+
+    Working member-indexed (instead of on a pre-joined _1/_2 sided frame)
+    means the fat weight arrays are touched once per MEMBER — numpy
+    conversion, title-token set, soundex all amortize over the pair
+    degree (~25x) — and the engine's cogroup path never materializes the
+    43-column sided frame at all. The oracle reaches this same function
+    through the ``score_pairs`` wrapper, so scores stay bit-identical."""
+    m = len(memb["url"])
+    n = len(i1)
     out = {c: [0.0] * n for c in
            ("name_jw", "soundex_agree", "title_jac", "body_cos", "host_sim",
             "raw", "score")}
@@ -135,35 +146,34 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     same_doc_l = [False] * n
     edge_l = [False] * n
 
-    cols = {c: pairs[c].tolist() for c in (
-        "url_1", "url_2", "doc_id_1", "doc_id_2",
-        "name_norm_1", "name_norm_2",
-        "first_1", "first_2", "middle_1", "middle_2", "last_1", "last_2",
-        "title_toks_1", "title_toks_2", "host_1", "host_2",
-        "w_toks_1", "w_toks_2", "w_vals_1", "w_vals_2",
-        "w_norm_1", "w_norm_2")}
-    # title tokens become plain lists for the set Jaccard
-    for c in ("title_toks_1", "title_toks_2"):
-        cols[c] = [x if isinstance(x, list) else x.tolist() for x in cols[c]]
+    doc_id = memb["doc_id"]
+    name_norm = memb["name_norm"]
+    first = memb["first"]
+    middle = memb["middle"]
+    last = memb["last"]
+    host = memb["host"]
+    w_norm = memb["w_norm"]
 
-    # weight arrays convert to int64/float64 numpy ONCE per distinct
-    # mention per batch (keyed by url): with pair-degree ~25 the per-pair
-    # asarray conversions were the cosine path's dominant cost
-    arr_memo: dict = {}
-
-    def arrs_of(u, t, v):
-        r = arr_memo.get(u)
-        if r is None:
-            r = arr_memo[u] = (np.asarray(t, dtype=np.int64),
-                               np.asarray(v, dtype=np.float64))
-        return r
-
-    # memo tables: names/hosts repeat heavily across a block's pairs, and
-    # jaro_winkler / soundex / host_similarity are pure + symmetric, so
-    # caching them changes nothing semantically (the oracle runs this same
-    # kernel) while cutting the Python hot loop by the repeat factor.
-    jw_memo: dict = {}
+    # per-member precomputes (each amortizes over the pair degree)
+    tsets = [set(t) for t in memb["title_toks"]]
+    arrs = [(np.asarray(t, dtype=np.int64),
+             np.asarray(v, dtype=np.float64))
+            for t, v in zip(memb["w_toks"], memb["w_vals"])]
     sx_memo: dict = {}
+
+    def sx_of(s: str) -> str:
+        v = sx_memo.get(s)
+        if v is None:
+            v = sx_memo[s] = soundex(s)
+        return v
+
+    sx_m = [sx_of(s) for s in last]
+
+    # pair-level memos: names/hosts repeat heavily across a block's pairs,
+    # and jaro_winkler / host_similarity are pure + symmetric, so caching
+    # them changes nothing semantically while cutting the Python hot loop
+    # by the repeat factor.
+    jw_memo: dict = {}
     hs_memo: dict = {}
 
     def jw_of(a: str, b: str) -> float:
@@ -173,12 +183,6 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
             v = jw_memo[k] = jaro_winkler(k[0], k[1])
         return v
 
-    def sx_of(s: str) -> str:
-        v = sx_memo.get(s)
-        if v is None:
-            v = sx_memo[s] = soundex(s)
-        return v
-
     def hs_of(a: str, b: str) -> float:
         k = (a, b) if a <= b else (b, a)
         v = hs_memo.get(k)
@@ -186,44 +190,84 @@ def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
             v = hs_memo[k] = host_similarity(k[0], k[1])
         return v
 
-    for i in range(n):
-        same_doc = cols["doc_id_1"][i] == cols["doc_id_2"][i]
-        same_doc_l[i] = same_doc
-        compat = (cols["last_1"][i] == cols["last_2"][i]) and names_compatible(
-            cols["first_1"][i], cols["middle_1"][i],
-            cols["first_2"][i], cols["middle_2"][i])
-        compat_l[i] = compat
+    for p in range(n):
+        a = i1[p]
+        b = i2[p]
+        same_doc = doc_id[a] == doc_id[b]
+        same_doc_l[p] = same_doc
+        compat = (last[a] == last[b]) and names_compatible(
+            first[a], middle[a], first[b], middle[b])
+        compat_l[p] = compat
         if same_doc or not compat:
             continue  # hard gates BEFORE expensive features (ref §4 row 3)
-        jw = jw_of(cols["name_norm_1"][i], cols["name_norm_2"][i])
-        sxa, sxb = sx_of(cols["last_1"][i]), sx_of(cols["last_2"][i])
-        sx = 1.0 if (sxa and sxa == sxb) else 0.0
-        tj = jaccard(set(cols["title_toks_1"][i]), set(cols["title_toks_2"][i]))
-        t1a, v1a = arrs_of(cols["url_1"][i],
-                           cols["w_toks_1"][i], cols["w_vals_1"][i])
-        t2a, v2a = arrs_of(cols["url_2"][i],
-                           cols["w_toks_2"][i], cols["w_vals_2"][i])
-        bc = sparse_cosine_sorted(t1a, v1a, cols["w_norm_1"][i],
-                                  t2a, v2a, cols["w_norm_2"][i])
-        hs = hs_of(cols["host_1"][i], cols["host_2"][i])
+        jw = jw_of(name_norm[a], name_norm[b])
+        sx = 1.0 if (sx_m[a] and sx_m[a] == sx_m[b]) else 0.0
+        tj = jaccard(tsets[a], tsets[b])
+        t1a, v1a = arrs[a]
+        t2a, v2a = arrs[b]
+        bc = sparse_cosine_sorted(t1a, v1a, w_norm[a],
+                                  t2a, v2a, w_norm[b])
+        hs = hs_of(host[a], host[b])
         raw = (spec.W_NAME_JW * jw + spec.W_SOUNDEX * sx
                + spec.W_TITLE_JAC * tj + spec.W_BODY_COS * bc
                + spec.W_HOST_SIM * hs)
         score = round(_sigmoid(spec.CAL_SLOPE * (raw - spec.CAL_CENTER)),
                       spec.SCORE_DECIMALS)
-        out["name_jw"][i] = jw
-        out["soundex_agree"][i] = sx
-        out["title_jac"][i] = tj
-        out["body_cos"][i] = bc
-        out["host_sim"][i] = hs
-        out["raw"][i] = raw
-        out["score"][i] = score
-        edge_l[i] = score >= spec.EPS and bc >= spec.COS_MIN
+        out["name_jw"][p] = jw
+        out["soundex_agree"][p] = sx
+        out["title_jac"][p] = tj
+        out["body_cos"][p] = bc
+        out["host_sim"][p] = hs
+        out["raw"][p] = raw
+        out["score"][p] = score
+        edge_l[p] = score >= spec.EPS and bc >= spec.COS_MIN
 
+    out["compat"] = compat_l
+    out["same_doc"] = same_doc_l
+    out["is_edge"] = edge_l
+    return out
+
+
+def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Batched kernel over a pre-joined sided frame (the oracle path).
+    Input columns required (suffix _1/_2 per side): url, doc_id,
+    name_norm, first, middle, last, title_toks, host, and the precomputed
+    tf-idf arrays w_toks/w_vals/w_norm (built by weight_arrays via a
+    distributed idf join in the engine — no driver-side global vocabulary
+    is ever collected; SURVEY §4 broadcast-dict note, scaled up).
+    Returns input + FEATURE_COLUMNS. Internally de-duplicates the sides
+    into a member table and runs ``score_pairs_indexed``."""
+    n = len(pairs)
+    memb: dict = {c: [] for c in MEMBER_COLUMNS}
+    idx: dict = {}
+
+    def intern(u, row_of):
+        j = idx.get(u)
+        if j is None:
+            j = idx[u] = len(memb["url"])
+            for c in MEMBER_COLUMNS:
+                memb[c].append(row_of(c))
+        return j
+
+    side_lists = {}
+    for s in ("1", "2"):
+        side_lists[s] = {c: pairs[f"{c}_{s}"].tolist()
+                         for c in MEMBER_COLUMNS}
+    tt = side_lists
+    for s in ("1", "2"):
+        tl = tt[s]["title_toks"]
+        tt[s]["title_toks"] = [x if isinstance(x, list) else list(x)
+                               for x in tl]
+    i1 = [0] * n
+    i2 = [0] * n
+    u1 = tt["1"]["url"]
+    u2 = tt["2"]["url"]
+    for p in range(n):
+        i1[p] = intern(u1[p], lambda c: tt["1"][c][p])
+        i2[p] = intern(u2[p], lambda c: tt["2"][c][p])
+
+    out = score_pairs_indexed(memb, i1, i2)
     res = pairs.copy()
-    for c, v in out.items():
-        res[c] = v
-    res["compat"] = compat_l
-    res["same_doc"] = same_doc_l
-    res["is_edge"] = edge_l
+    for c in FEATURE_COLUMNS:
+        res[c] = out[c]
     return res
