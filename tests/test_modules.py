@@ -314,3 +314,20 @@ def test_entities_host_containment_dedup(spark):
     ents = build_entities(mentions, idf, clusters).toPandas()
     assert len(ents) == 1
     assert list(ents.hosts[0]) == ["mega.org", "other.net"]
+
+
+def test_oversample_minority(spark):
+    from webr.blocking_learn import oversample_minority
+    pairs = spark.createDataFrame(
+        [(i, i % 10 == 0) for i in range(200)], "id long, match boolean")
+    out = oversample_minority(pairs).toPandas()
+    pos = int(out.match.sum())
+    neg = len(out) - pos
+    # 20 pos / 180 neg -> factor 9 -> 180/180
+    assert pos == 180 and neg == 180
+    # every original row survives; replication is exact per-row
+    assert out[out.match].id.value_counts().eq(9).all()
+    # balanced input is untouched
+    bal = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(100)], "id long, match boolean")
+    assert oversample_minority(bal).count() == 100

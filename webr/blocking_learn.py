@@ -69,6 +69,31 @@ def evaluate_scheme(pairs: DataFrame, predicates: list[str],
     return SchemeEval(list(predicates), rr, pc, _f(rr, pc))
 
 
+def oversample_minority(pairs: DataFrame, label_col: str = "match",
+                        max_factor: int = 100) -> DataFrame:
+    """M2 (ref train_rf.py's minority oversampling before fitting):
+    replicate minority-class rows floor(majority/minority) times so the
+    classes roughly balance. Deterministic (no RNG — every minority row
+    replicates the same integer factor) and distributed (explode over a
+    sequence; no collect). ``max_factor`` caps pathological imbalance."""
+    row = pairs.agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.count("*").alias("n")).collect()[0]
+    pos, neg = row["pos"], row["n"] - row["pos"]
+    if pos == 0 or neg == 0 or pos == neg:
+        return pairs
+    minority_is_pos = pos < neg
+    k = min(max(neg, pos) // min(pos, neg), max_factor)
+    if k <= 1:
+        return pairs
+    is_min = F.col(label_col) if minority_is_pos else ~F.col(label_col)
+    minority = (pairs.where(is_min)
+                .withColumn("_dup", F.explode(
+                    F.sequence(F.lit(1), F.lit(int(k)))))
+                .drop("_dup"))
+    return pairs.where(~is_min).unionByName(minority)
+
+
 def _learn_greedy(pairs: DataFrame, candidate_preds: list[str],
                   combine, seed_expr, seed_rr_pc, match_col: str,
                   max_terms: int, min_gain: float, gain: str,
