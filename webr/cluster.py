@@ -163,7 +163,15 @@ def _constrained_refine(members: DataFrame, comp_edges: DataFrame,
             memb_pdf["url"], memb_pdf["first"], memb_pdf["middle"])}
         rep = constrained_components(
             names, list(zip(edges_pdf["url_1"], edges_pdf["url_2"])))
-        urls = sorted(rep)
+        # MIN_PTS applied here (the kernel already sees every member of
+        # the component): sub-clusters reduced to a single member by
+        # vetoed unions are noise — emitting only clustered urls saves a
+        # whole groupBy+join round downstream
+        sizes: dict = {}
+        for r in rep.values():
+            sizes[r] = sizes.get(r, 0) + 1
+        urls = sorted(u for u, r in rep.items()
+                      if sizes[r] >= spec.MIN_PTS)
         return pd.DataFrame({"url": urls, "rep": [rep[u] for u in urls]})
 
     # comp_e, not comp: both cogroup branches descend from the same CC
@@ -195,12 +203,9 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     comp_edges = edges.join(
         comp.select(F.col("url").alias("url_1"),
                     F.col("comp").alias("comp_e")), "url_1")
-    refined = _constrained_refine(members, comp_edges)
-    # MIN_PTS: sub-clusters reduced to one member by rejected unions are
-    # noise again (a bridge whose links were all vetoed)
-    sizes = refined.groupBy("rep").agg(F.count("*").alias("n"))
-    labels = (refined.join(sizes.where(F.col("n") >= spec.MIN_PTS), "rep")
-              .select("url", "rep")
+    # refine emits only urls whose constrained sub-cluster kept
+    # >= MIN_PTS members (vetoed bridges drop out and become noise)
+    labels = (_constrained_refine(members, comp_edges)
               .localCheckpoint(eager=True))
     reps = labels.select("rep").distinct()
     rep_ids = (reps.orderBy("rep").rdd
