@@ -113,6 +113,71 @@ FROM b GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig
 
 
 # ---------------------------------------------------------------------------
+# MinHash dedup CLUSTERS: transitive closure over bucket co-membership.
+# Edges are STAR edges to each bucket's min doc (linear in bucket size —
+# never all-pairs within a bucket), then distributed CC; the keeper is
+# the component min. This is the operator a 100 TB dedup job actually
+# ends with: (doc_id, dup_group, keep).
+
+def q_dedup_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from webr.cluster import connected_components
+    d = (read(spark, sf, "documents")
+         .withColumn("toks", F.expr(spark_tokens("text")))
+         .where(F.size("toks") >= 3)
+         .withColumn("shingles", F.expr(_SPARK_SHINGLES)))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(_spark_band_sig(b)).alias("sig"))
+        for b in range(_N_BANDS)])
+    memb = (d.select("doc_id", F.explode(bands).alias("bs"))
+            .select("doc_id", F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig")))
+    roots = (memb.groupBy("band", "sig")
+             .agg(F.min("doc_id").alias("root"),
+                  F.count("*").alias("c"))
+             .where(F.col("c") >= 2))
+    edges = (memb.join(roots, ["band", "sig"])
+             .where(F.col("doc_id") != F.col("root"))
+             .select(F.col("root").alias("url_1"),
+                     F.col("doc_id").alias("url_2"))
+             .distinct())
+    labels = connected_components(edges).select(
+        F.col("url").alias("doc_id"), F.col("rep").alias("dup_group"))
+    docs = read(spark, sf, "documents").select("doc_id")
+    return (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dup_group", "doc_id").alias("dup_group"))
+            .withColumn("keep", F.col("dup_group") == F.col("doc_id"))
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, {_DUCK_SHINGLES.replace('toks', 'toks')} AS shingles
+  FROM (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents)
+  WHERE len(toks) >= 3),
+b AS ({_duck_band_rows()}),
+m AS (SELECT band, sig, min(doc_id) AS root, count(*) AS c
+      FROM b GROUP BY band, sig HAVING count(*) >= 2),
+pairs AS (SELECT DISTINCT m.root AS a, b.doc_id AS bb
+          FROM b JOIN m USING (band, sig) WHERE b.doc_id <> m.root),
+edges AS (SELECT a, bb AS b FROM pairs
+          UNION ALL SELECT bb AS a, a AS b FROM pairs),
+lab(v, rep) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, l.rep FROM lab l JOIN edges e ON l.v = e.a
+  WHERE l.rep < e.b)
+SELECT doc_id,
+       coalesce((SELECT min(rep) FROM lab WHERE v = doc_id), doc_id)
+       AS dup_group,
+       coalesce((SELECT min(rep) FROM lab WHERE v = doc_id), doc_id)
+       = doc_id AS keep
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-char-derived so both engines compute byte-identically)
 
 _HEX = "0123456789abcdef"
@@ -700,6 +765,8 @@ FROM rk WHERE rk <= {_ANN_K} ORDER BY q_id, rk
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_clusters": (q_dedup_minhash_clusters,
+                               SQL_DEDUP_MINHASH_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
