@@ -331,3 +331,87 @@ def test_oversample_minority(spark):
     bal = spark.createDataFrame(
         [(i, i % 2 == 0) for i in range(100)], "id long, match boolean")
     assert oversample_minority(bal).count() == 100
+
+
+def test_streaming_sessionized_counts_matches_batch(spark):
+    """Streaming session_window sessionization must agree with the batch
+    lag+cumsum twin (q_sessionize_events) on drained input: same
+    per-(user, session) event counts and cent sums."""
+    import pandas as pd
+    from webr.queries.relational import q_sessionize_events
+    from webr.streaming import sessionized_counts
+
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import pyspark.sql.functions as F
+    sf = "/root/testdata/sf0.001"
+    # file streams need a DIRECTORY source; append-mode session windows
+    # only emit once the watermark passes them, so two far-future
+    # sentinel drops (processed as LATER micro-batches via
+    # maxFilesPerTrigger=1) flush every real session out of state
+    d = tempfile.mkdtemp(prefix="webr_sess_")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev.write.parquet(os.path.join(d, "d1"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((1, 2)):
+        spark.createDataFrame(
+            [(10**9 + i, max_ts + dt.timedelta(days=days), -1,
+              "sentinel", 0.0, "")],
+            ev.schema).write.parquet(os.path.join(d, f"d{2 + i}"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(d + "/d*"))
+    q = (sessionized_counts(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("sessions")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM sessions WHERE user_id >= 0")
+           .toPandas()
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    shutil.rmtree(d, ignore_errors=True)
+    want = (q_sessionize_events(spark, sf).toPandas()
+            .sort_values(["user_id", "session_no"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    ga = got.groupby("user_id")[["n_events", "session_cents"]].sum()
+    wa = want.groupby("user_id")[["n_events", "session_cents"]].sum()
+    pd.testing.assert_frame_equal(ga, wa, check_dtype=False)
+    # per-session multisets agree (session ids differ; counts must match)
+    for u in ga.index:
+        g = sorted(got[got.user_id == u].n_events)
+        w = sorted(want[want.user_id == u].n_events)
+        assert g == w, (u, g, w)
+
+
+def test_streaming_dedup_exact(spark, corpus_pd):
+    """Watermark-scoped streaming dedup: duplicated page drops collapse
+    to one row per content fingerprint."""
+    import os
+    import shutil
+    import tempfile
+    from webr import schema
+    from webr.streaming import stream_dedup_exact
+
+    d = tempfile.mkdtemp(prefix="webr_sdd_")
+    pages = spark.createDataFrame(
+        corpus_pd.head(80)[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    pages.write.parquet(os.path.join(d, "in", "drop1"))
+    pages.write.parquet(os.path.join(d, "in", "drop2"))  # exact replay
+    stream = (spark.readStream.schema(schema.PAGES)
+              .parquet(os.path.join(d, "in", "drop*")))
+    q = (stream_dedup_exact(stream)
+         .writeStream.outputMode("append")
+         .format("parquet")
+         .option("path", os.path.join(d, "out"))
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = spark.read.parquet(os.path.join(d, "out")).toPandas()
+    n_fp = corpus_pd.head(80).html.map(bytes).nunique()
+    assert len(out) == n_fp
+    assert out.fp.nunique() == n_fp
+    shutil.rmtree(d, ignore_errors=True)

@@ -124,3 +124,60 @@ def test_minhash_band_keys_deterministic_and_shaped(tokens):
         assert all(len(p) == 16 for p in sig.split("|"))  # 2 hex rows
     # identical docs always collide in every band (dedup recall floor)
     assert minhash_band_keys(list(tokens)) == k1
+
+
+# --- cannot-link constrained components (webr/constraints.py) ----------------
+
+_NAME = st.tuples(ASCII_WORD, ASCII_WORD)
+_GRAPH = st.integers(min_value=2, max_value=12).flatmap(
+    lambda n: st.tuples(
+        st.lists(_NAME, min_size=n, max_size=n),
+        st.lists(st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                 max_size=24)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_GRAPH)
+def test_constrained_components_invariants(g):
+    from webr.constraints import constrained_components
+    from webr.textproc import names_compatible
+    names_list, raw_edges = g
+    urls = [f"u{i:02d}" for i in range(len(names_list))]
+    names = dict(zip(urls, names_list))
+    edges = [(urls[a], urls[b]) for a, b in raw_edges if a != b]
+    rep = constrained_components(names, edges)
+    # total: every url labeled; rep is a member and the cluster min
+    assert set(rep) == set(urls)
+    for u, r in rep.items():
+        assert r in rep and rep[r] == r
+        assert r <= u
+    # THE invariant: every final cluster is all-pairs name-compatible
+    by_rep: dict = {}
+    for u, r in rep.items():
+        by_rep.setdefault(r, []).append(u)
+    for members in by_rep.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                fa, ma = names[a]
+                fb, mb = names[b]
+                assert names_compatible(fa, ma, fb, mb)
+    # determinism under edge-list permutation (kernel sorts internally)
+    rep2 = constrained_components(names, list(reversed(edges)))
+    assert rep2 == rep
+    # never MORE merged than unconstrained CC: clusters refine components
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for u in urls:
+        for v in urls:
+            if rep[u] == rep[v]:
+                assert find(u) == find(v)

@@ -41,6 +41,48 @@ def windowed_host_counts(pages: DataFrame) -> DataFrame:
                     "n_pages"))
 
 
+def sessionized_counts(events: DataFrame, gap: str = "1801 seconds",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via ``session_window`` (dynamic-gap
+    session windows close ``gap`` after the last event; late data beyond
+    ``watermark`` is dropped). The batch twin is
+    queries/relational.py::q_sessionize_events (lag + cumulative sum),
+    which compares SECOND-truncated epochs and starts a new session on
+    gap STRICTLY greater than 1800 s; matching exactly needs (a) the
+    same second truncation of event time and (b) G = 1801 s, because
+    session_window splits on gap >= G while the batch rule splits on
+    gap >= 1801 whole seconds. Per-(user, session) event counts then
+    agree exactly on drained input (tested)."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the cast is value-preserving. cast->long truncates to seconds,
+    # mirroring the batch twin's epoch arithmetic.
+    events = events.withColumn(
+        "ts", F.col("ts").cast("timestamp").cast("long").cast("timestamp"))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("session_cents"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "session_cents"))
+
+
+def stream_dedup_exact(pages: DataFrame, watermark: str = "2 hours",
+                       ) -> DataFrame:
+    """Streaming exact dedup: content fingerprint (md5 of the raw bytes —
+    cheap and exact) + ``dropDuplicates`` scoped by watermark, so state
+    is bounded to the watermark horizon instead of growing forever (the
+    100 TB requirement for any streaming dedup). First arrival of each
+    fingerprint wins; replays within the watermark are dropped
+    exactly-once."""
+    fp = (pages
+          .withColumn("fp", F.md5(F.coalesce(
+              F.col("html"), F.col("text").cast("binary")))))
+    return (fp.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def ingest_to_staging(spark: SparkSession, input_dir: str,
                       staging_dir: str, checkpoint_dir: str):
     """Exactly-once-per-batch append into the staging table via
