@@ -205,3 +205,18 @@ def test_cannot_link_bridge_split(spark, warehouse_dir):
     ids_john = set(merged[merged.entity == BRIDGE_JOHN].cluster_id) - {0}
     ids_jane = set(merged[merged.entity == BRIDGE_JANE].cluster_id) - {0}
     assert ids_john and ids_jane and ids_john.isdisjoint(ids_jane)
+
+
+def test_name_part_match_features(pipeline_out):
+    """F7/F8: categorical first/middle match levels ride the pair_scores
+    table and agree with the compat gate (a mismatch on either part with
+    equal last names implies compat=false)."""
+    ps = pipeline_out["pair_scores"].toPandas()
+    assert set(ps.first_match) <= {"exact", "initial", "missing",
+                                   "mismatch"}
+    bad = ps[(ps.first_match == "mismatch") & ps.compat]
+    assert len(bad) == 0
+    bad_m = ps[(ps.middle_match == "mismatch") & ps.compat]
+    assert len(bad_m) == 0
+    # the corpus's initial-only variants must actually exercise 'initial'
+    assert (ps.first_match == "initial").any()

@@ -26,11 +26,13 @@ import pandas as pd
 
 from webr import spec
 from webr.textproc import (
-    jaccard, jaro_winkler, levenshtein, names_compatible, soundex,
+    jaccard, jaro_winkler, levenshtein, name_part_match, names_compatible,
+    soundex,
 )
 
 FEATURE_COLUMNS = [
     "name_jw", "soundex_agree", "title_jac", "body_cos", "host_sim",
+    "first_match", "middle_match",
     "compat", "same_doc", "raw", "score", "is_edge",
 ]
 
@@ -145,6 +147,11 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
     compat_l = [False] * n
     same_doc_l = [False] * n
     edge_l = [False] * n
+    # F7/F8: categorical name-part match levels — emitted for EVERY pair
+    # (gated ones included) since they are observational features, not
+    # score inputs (the score's compat gate subsumes them)
+    first_match_l = [""] * n
+    middle_match_l = [""] * n
 
     doc_id = memb["doc_id"]
     name_norm = memb["name_norm"]
@@ -190,6 +197,15 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
             v = hs_memo[k] = host_similarity(k[0], k[1])
         return v
 
+    pm_memo: dict = {}
+
+    def pm_of(x: str, y: str) -> str:
+        k = (x, y) if x <= y else (y, x)
+        v = pm_memo.get(k)
+        if v is None:
+            v = pm_memo[k] = name_part_match(k[0], k[1])
+        return v
+
     for p in range(n):
         a = i1[p]
         b = i2[p]
@@ -198,6 +214,8 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
         compat = (last[a] == last[b]) and names_compatible(
             first[a], middle[a], first[b], middle[b])
         compat_l[p] = compat
+        first_match_l[p] = pm_of(first[a], first[b])
+        middle_match_l[p] = pm_of(middle[a], middle[b])
         if same_doc or not compat:
             continue  # hard gates BEFORE expensive features (ref §4 row 3)
         jw = jw_of(name_norm[a], name_norm[b])
@@ -222,6 +240,8 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
         out["score"][p] = score
         edge_l[p] = score >= spec.EPS and bc >= spec.COS_MIN
 
+    out["first_match"] = first_match_l
+    out["middle_match"] = middle_match_l
     out["compat"] = compat_l
     out["same_doc"] = same_doc_l
     out["is_edge"] = edge_l

@@ -73,6 +73,8 @@ PAIR_SCORES = StructType([
     StructField("title_jac", DoubleType(), True),
     StructField("body_cos", DoubleType(), True),
     StructField("host_sim", DoubleType(), True),
+    StructField("first_match", StringType(), True),
+    StructField("middle_match", StringType(), True),
     StructField("compat", BooleanType(), True),
     StructField("same_doc", BooleanType(), True),
     StructField("raw", DoubleType(), True),

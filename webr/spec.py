@@ -16,9 +16,11 @@ Anything here changes => goldens change; bump SCORING_VERSION.
 # v4: minhash base hash = crc32, affine maps vectorized (31-bit coeffs)
 # v5: tokenize closed under lower() (NFKD can surface uppercase ASCII
 #     from modifier letters)
-SCORING_VERSION = "v6"  # v6: cannot-link constraint replay after CC
-                        # (webr.constraints) — clusters are all-pairs
-                        # name-compatible; vetoed bridges revert to noise
+# v6: cannot-link constraint replay after CC (webr.constraints) —
+#     clusters are all-pairs name-compatible; vetoed bridges -> noise
+SCORING_VERSION = "v7"  # v7: pair_scores carries F7/F8 categorical
+                        # first/middle match columns (scores unchanged;
+                        # version bump invalidates old-schema checkpoints)
 
 # clustering thresholds (ref author_disambiguation.py:16-17)
 EPS = 0.85          # edge iff score >= EPS

@@ -200,6 +200,18 @@ def names_compatible(fa: str, ma: str, fb: str, mb: str) -> bool:
     return _part_compat(fa, fb) and _part_compat(ma, mb)
 
 
+def name_part_match(a: str, b: str) -> str:
+    """Categorical match level of one name part (F7/F8 — the reference
+    feeds these as classifier features, dao/author.py:75-110 / SURVEY
+    §2.7): 'exact' both full and equal; 'initial' compatible via an
+    initial; 'missing' either side empty; 'mismatch' otherwise."""
+    if not a or not b:
+        return "missing"
+    if len(a) > 1 and len(b) > 1:
+        return "exact" if a == b else "mismatch"
+    return "initial" if a[0] == b[0] else "mismatch"
+
+
 # ---------------------------------------------------------------------------
 # string similarity
 
