@@ -348,7 +348,8 @@ def q_doc_components(spark: SparkSession, sf: str) -> DataFrame:
     distributed hash-min CC (webr.cluster). DuckDB oracle uses a recursive
     CTE doing the same min-label propagation."""
     from webr.cluster import connected_components
-    d = _docs_with_tokens(spark, sf).select("doc_id")
+    # plain scan: the doc-id universe needs no tokenization
+    d = read(spark, sf, "documents").select("doc_id")
     edges = _doc_edges(spark, sf).select(
         F.col("doc_id_1").alias("url_1"), F.col("doc_id_2").alias("url_2"))
     labels = connected_components(edges).select(
