@@ -103,3 +103,29 @@ def test_doc_components_oracle_match_mega(spark, mega_sf_dir):
     want = _duck(mega_sf_dir, SQL_DOC_COMPONENTS)
     pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                   check_dtype=False)
+
+
+def test_null_block_keys_pair_with_nothing(spark):
+    """Mega group of NULL block keys (empty/garbage text) must produce
+    ZERO pairs on both engines — SQL join semantics, not a NULL window
+    partition of lead-paired garbage."""
+    import os
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="webr_nullblock_")
+    rows = [{"doc_id": i, "text": "", "lang": "en",
+             "source": "s.example.org", "n_chars": 0} for i in range(100)]
+    rows += [{"doc_id": 100 + i, "text": f"alpha beta doc{i}",
+              "lang": "en", "source": "s.example.org", "n_chars": 20}
+             for i in range(4)]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        from webr.queries.er_docs import SQL_DOC_PAIRS, q_doc_pairs
+        got = q_doc_pairs(spark, d).toPandas()
+        want = _duck(d, SQL_DOC_PAIRS)
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False)
+        # only the 4 real docs pair; the 100 NULL-key docs pair with nothing
+        assert int(got.n_pairs.sum()) == 4 * 3 // 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

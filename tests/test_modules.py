@@ -300,6 +300,10 @@ def test_entities_host_containment_dedup(spark):
     rows = []
     hosts = (["mega.org"] * 5 + ["a.mega.org"] * 4 + ["other.net"] * 3
              + ["b.mega.org"] * 2)
+    # transitive case: 'x.other.net' is dropped against the SURVIVOR
+    # 'other.net', but 'unrelated.io' must not be dropped through an
+    # already-dropped middleman
+    hosts += ["x.other.net", "unrelated.io"]
     for i, h in enumerate(hosts):
         rows.append((f"u{i:02d}", f"u{i:02d}", h, "jane doe", "jane", "",
                      "doe", ["t"], ["tok"]))
@@ -313,7 +317,7 @@ def test_entities_host_containment_dedup(spark):
         "url string, cluster_id long, is_noise boolean")
     ents = build_entities(mentions, idf, clusters).toPandas()
     assert len(ents) == 1
-    assert list(ents.hosts[0]) == ["mega.org", "other.net"]
+    assert list(ents.hosts[0]) == ["mega.org", "other.net", "unrelated.io"]
 
 
 def test_oversample_minority(spark):

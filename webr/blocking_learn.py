@@ -79,7 +79,8 @@ def oversample_minority(pairs: DataFrame, label_col: str = "match",
     row = pairs.agg(
         F.sum(F.col(label_col).cast("long")).alias("pos"),
         F.count("*").alias("n")).collect()[0]
-    pos, neg = row["pos"], row["n"] - row["pos"]
+    pos = row["pos"] or 0  # sum over zero rows is NULL
+    neg = row["n"] - pos
     if pos == 0 or neg == 0 or pos == neg:
         return pairs
     minority_is_pos = pos < neg

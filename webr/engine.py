@@ -333,12 +333,16 @@ def build_entities(mentions: DataFrame, idf: DataFrame,
     # top-3 hosts after substring-containment dedup in rank order (A6,
     # ref import_clusters.py:148-166 dedups top affils the same way:
     # 'sub.mega.example.com' and 'mega.example.com' collapse to the
-    # higher-ranked one), so we over-collect 8 and keep 3 survivors
+    # higher-ranked one), so we over-collect 8 and keep 3 survivors.
+    # The fold compares each host against the SURVIVORS so far — not
+    # against already-dropped entries, which would eliminate an
+    # unrelated host transitively through a dropped middleman
     stats = (stats.withColumn(
         "hosts",
-        F.expr("slice(filter(hosts8, (x, i) -> i = 0 OR NOT exists("
-               "slice(hosts8, 1, i), "
-               "y -> instr(y, x) > 0 OR instr(x, y) > 0)), 1, 3)"))
+        F.expr("aggregate(hosts8, cast(array() as array<string>), "
+               "(acc, x) -> CASE WHEN size(acc) >= 3 OR exists(acc, "
+               "y -> instr(y, x) > 0 OR instr(x, y) > 0) "
+               "THEN acc ELSE array_append(acc, x) END)"))
         .drop("hosts8"))
 
     # cluster BoW profile: sum member tf*idf per token, keep top-N (A5).

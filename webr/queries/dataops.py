@@ -102,7 +102,7 @@ def _duck_band_rows() -> str:
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH s AS (
-  SELECT doc_id, {_DUCK_SHINGLES.replace('toks', 'toks')} AS shingles
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
   FROM (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents)
   WHERE len(toks) >= 3),
 b AS ({_duck_band_rows()})
@@ -153,7 +153,7 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DEDUP_MINHASH_CLUSTERS = f"""
 WITH RECURSIVE s AS (
-  SELECT doc_id, {_DUCK_SHINGLES.replace('toks', 'toks')} AS shingles
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
   FROM (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents)
   WHERE len(toks) >= 3),
 b AS ({_duck_band_rows()}),
@@ -323,14 +323,14 @@ def _sql_simhash64_pairs() -> str:
         for w in range(4))
     ham = " + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(4))
     return f"""
-WITH t AS (SELECT doc_id,
-                  list_transform(
-                    list_transform(
-                      list_sort(list_distinct({duck_tokens_nostop('text')})),
-                      t -> md5(t)),
-                    m -> [{quad}]) AS hq
-           FROM documents
-           WHERE len(list_distinct({duck_tokens_nostop('text')})) >= 1),
+WITH tok AS (SELECT doc_id,
+                    list_sort(list_distinct({duck_tokens_nostop('text')}))
+                    AS tset
+             FROM documents),
+t AS (SELECT doc_id,
+             list_transform(list_transform(tset, t -> md5(t)),
+                            m -> [{quad}]) AS hq
+      FROM tok WHERE len(tset) >= 1),
 s AS (SELECT doc_id, {words} FROM t),
 memb AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -375,7 +375,7 @@ def _sql_dedup_ngram_jaccard() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, source,
-         list_sort(list_distinct({_DUCK_SHINGLES.replace('toks', 'toks')}))
+         list_sort(list_distinct({_DUCK_SHINGLES}))
          AS sh
   FROM (SELECT doc_id, source, {duck_tokens('text')} AS toks FROM documents)
   WHERE len(toks) >= 3),

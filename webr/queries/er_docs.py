@@ -24,7 +24,11 @@ from webr.queries.common import (
 
 # shared fragments -----------------------------------------------------------
 
-_BK_SPARK = "concat(source, ':', substring(element_at({toks}, 1), 1, 1))"
+# try_element_at: plain element_at THROWS on an empty array under
+# Spark 4's ANSI mode; DuckDB's toks[1] returns NULL on empty — NULL
+# block keys then pair with nothing on both engines
+_BK_SPARK = ("concat(source, ':', "
+             "substring(try_element_at({toks}, 1), 1, 1))")
 _BK_DUCK = "source || ':' || substr({toks}[1], 1, 1)"
 
 # Mega-block guard for every in-block self-join in this family (same rule
@@ -46,7 +50,11 @@ def bounded_pair_ids(d: DataFrame, key: str = "block_key",
     Ids-only output: callers join the fat side columns back once per pair
     (ids shuffle cheap; the wide payload never rides the self-join)."""
     wrn = Window.partitionBy(key).orderBy(id_col)
+    # NULL keys pair with nothing (SQL join semantics — the DuckDB mirror
+    # joins on key equality, which is never true for NULL; without this
+    # filter Spark's window would happily lead-pair a NULL mega-block)
     m = (d.select(key, id_col)
+         .where(F.col(key).isNotNull())
          .withColumn("rn", F.row_number().over(wrn))
          .withColumn("bn", F.count("*").over(Window.partitionBy(key))))
     small = m.where(F.col("bn") <= cap)
@@ -108,7 +116,8 @@ def q_doc_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return (d.select("doc_id",
                      F.size("toks").alias("n_tokens"),
                      F.size("tset").alias("n_distinct"),
-                     F.element_at("toks", 1).alias("first_token"))
+                     F.try_element_at("toks", F.lit(1))
+                     .alias("first_token"))
             .orderBy("doc_id"))
 
 

@@ -82,7 +82,9 @@ def _stage2(query_feats: DataFrame, survivors: DataFrame,
     members = (survivors.select("q_url", "cluster_id", "n_members",
                                 "cluster_cos")
                .join(clusters.where(~F.col("is_noise")), "cluster_id")
-               .join(mention_feats, "url"))
+               # shuffle_hash: never sort the fat weight-array side
+               # (scoped hint — see webr/session.py note)
+               .join(mention_feats.hint("shuffle_hash"), "url"))
     qside = query_feats.select(
         F.col("url").alias("url_1"),
         *[F.col(c).alias(f"{c}_1")

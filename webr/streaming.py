@@ -76,9 +76,13 @@ def stream_dedup_exact(pages: DataFrame, watermark: str = "2 hours",
     100 TB requirement for any streaming dedup). First arrival of each
     fingerprint wins; replays within the watermark are dropped
     exactly-once."""
+    # url fallback: a page with NULL html AND NULL text must not share a
+    # NULL fingerprint with every other contentless page
+    # (dropDuplicates treats NULL keys as equal and would keep only one)
     fp = (pages
           .withColumn("fp", F.md5(F.coalesce(
-              F.col("html"), F.col("text").cast("binary")))))
+              F.col("html"), F.col("text").cast("binary"),
+              F.col("url").cast("binary")))))
     return (fp.withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
 
