@@ -419,3 +419,43 @@ def test_streaming_dedup_exact(spark, corpus_pd):
     assert len(out) == n_fp
     assert out.fp.nunique() == n_fp
     shutil.rmtree(d, ignore_errors=True)
+
+
+# --- CLI entrypoints (ref author_disambiguation.py / record_based_query.py) --
+
+def test_cli_run_and_query(spark, corpus_pd, warehouse_dir, capsys):
+    import os
+    from webr import schema
+    from webr.__main__ import main
+
+    pages_dir = os.path.join(warehouse_dir, "pages_in")
+    (spark.createDataFrame(
+        corpus_pd[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES).write.parquet(pages_dir))
+    wh = os.path.join(warehouse_dir, "wh")
+    rc = main(["run", "--input", pages_dir, "--warehouse", wh,
+               "--input-id", "cli-test"])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert "clusters=" in out1 and "warehouse=" in out1
+    assert os.path.exists(os.path.join(wh, "entities", "_manifest.json"))
+
+    # resume: a second run with the same input-id reuses every stage
+    rc = main(["run", "--input", pages_dir, "--warehouse", wh,
+               "--input-id", "cli-test"])
+    assert rc == 0
+
+    # query: resubmit two corpus pages; each must match its own cluster
+    q_dir = os.path.join(warehouse_dir, "q_in")
+    urls = sorted(corpus_pd.url)[:2]
+    (spark.createDataFrame(
+        corpus_pd[corpus_pd.url.isin(urls)]
+        [["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES).write.parquet(q_dir))
+    q_out = os.path.join(warehouse_dir, "q_out")
+    rc = main(["query", "--warehouse", wh, "--pages", q_dir,
+               "--out", q_out])
+    assert rc == 0
+    res = spark.read.parquet(q_out).toPandas()
+    assert set(res.q_url) <= set(urls) and len(res) >= 1
+    assert (res[res["rank"] == 1].votes >= 1).all()

@@ -1,0 +1,79 @@
+"""CLI entrypoints mirroring the reference's run scripts
+(`python author_disambiguation.py <in> <out>` — SURVEY §3.1 — and
+`python record_based_query.py <query.json> <order>` — §3.3):
+
+  python -m webr run   --input pages.parquet --warehouse WH [--input-id ID]
+  python -m webr query --warehouse WH --pages query_pages.parquet
+                       [--out OUT.parquet]
+
+`run` executes the full checkpointed pipeline (resumable: re-running with
+the same warehouse + input-id reuses every completed stage). `query`
+matches new page records against the existing entity tables without
+re-clustering. Results live in the warehouse as parquet tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from webr.session import get_spark
+    return get_spark(app=f"webr-{args.cmd}", master=args.master)
+
+
+def cmd_run(args) -> int:
+    from webr.catalog import fingerprint
+    from webr.engine import Pipeline
+    spark = _spark(args)
+    pages = spark.read.parquet(args.input)
+    input_id = args.input_id or fingerprint(
+        "auto", args.input, str(pages.count()))
+    out = Pipeline(spark, args.warehouse, input_id=input_id).run(pages)
+    n_pages = out["mentions"].count()
+    cl = out["clusters"]
+    n_noise = cl.where("is_noise").count()
+    n_clusters = out["entities"].count()
+    print(f"pages={n_pages} clusters={n_clusters} noise={n_noise} "
+          f"warehouse={args.warehouse} input_id={input_id}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from webr.catalog import Warehouse
+    from webr.query import match_records
+    spark = _spark(args)
+    wh = Warehouse(spark, args.warehouse)
+    qpages = spark.read.parquet(args.pages)
+    res = match_records(qpages, wh.read("idf"), wh.read("entities"),
+                        wh.read("clusters"), wh.read("mention_feats"))
+    if args.out:
+        res.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for r in res.orderBy("q_url", "rank").collect():
+            print(f"{r['q_url']}\t{r['cluster_id']}\t{r['votes']}"
+                  f"\t{r['rank']}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="webr")
+    p.add_argument("--master", default=None,
+                   help="spark master (default env WEBR_MASTER/local[*])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("run", help="full ER pipeline over a pages table")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--warehouse", required=True)
+    pr.add_argument("--input-id", default=None)
+    pq = sub.add_parser("query", help="match records against clusters")
+    pq.add_argument("--warehouse", required=True)
+    pq.add_argument("--pages", required=True)
+    pq.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    return {"run": cmd_run, "query": cmd_query}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
