@@ -511,6 +511,79 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public):
+    fraction of tokens covered by the most frequent token, and the
+    distinct-bigram ratio. Heavily repeated boilerplate scores high on
+    the first and low on the second. Integer-ratio arithmetic only."""
+    d = (read(spark, sf, "documents")
+         .withColumn("toks", F.expr(spark_tokens("text")))
+         .where(F.size("toks") >= 2)
+         .withColumn("bigrams", F.expr(
+             "transform(sequence(0, size(toks) - 2), "
+             "i -> concat(toks[i], ' ', toks[i+1]))")))
+    # top-token count via explode + groupBy (map-side combined) — the
+    # per-row array_max(transform(distinct, filter...)) alternative is
+    # O(len * distinct) per document, quadratic on long docs
+    top = (d.select("doc_id", F.explode("toks").alias("token"))
+           .groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("top_tok")))
+    return (d.join(top, "doc_id")
+            .select(
+                "doc_id",
+                F.round(F.col("top_tok") / F.size("toks"), 6)
+                .alias("top_token_frac"),
+                F.round(F.size(F.array_distinct("bigrams"))
+                        / F.size("bigrams"), 6)
+                .alias("distinct_bigram_ratio"))
+            .orderBy("doc_id"))
+
+
+SQL_QUALITY_REPETITION = f"""
+WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+d AS (SELECT doc_id, toks,
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             AS bigrams
+      FROM t WHERE len(toks) >= 2)
+SELECT doc_id,
+       round(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t))))::DOUBLE
+             / len(toks), 6) AS top_token_frac,
+       round(len(list_distinct(bigrams))::DOUBLE / len(bigrams), 6)
+       AS distinct_bigram_ratio
+FROM d ORDER BY doc_id
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus statistics: doc counts, exact char-length
+    min/median/max (discrete percentile — exact on both engines, unlike
+    approx_percentile), and total estimated tokens."""
+    d = read(spark, sf, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY n_chars)").cast("long")
+                 .alias("median_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.sum(F.ceil(F.col("n_chars") / 4).cast("long"))
+                 .alias("bpe_est_total"))
+            .orderBy("source"))
+
+
+SQL_CORPUS_STATS = """
+SELECT source, count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+            AS BIGINT) AS median_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+       AS bpe_est_total
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting three ways: whitespace split, alnum-regex tokens,
     and a BPE-ish char/4 estimate (the standard cheap proxy)."""
@@ -774,6 +847,8 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
