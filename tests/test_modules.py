@@ -459,3 +459,15 @@ def test_cli_run_and_query(spark, corpus_pd, warehouse_dir, capsys):
     res = spark.read.parquet(q_out).toPandas()
     assert set(res.q_url) <= set(urls) and len(res) >= 1
     assert (res[res["rank"] == 1].votes >= 1).all()
+
+
+def test_cli_auto_input_id_tracks_content():
+    from webr.__main__ import _auto_input_id
+    d = tempfile.mkdtemp(prefix="webr_autoid_")
+    p = os.path.join(d, "part-0.parquet")
+    open(p, "wb").write(b"A" * 100)
+    a = _auto_input_id(d)
+    assert a == _auto_input_id(d)          # deterministic
+    open(p, "wb").write(b"B" * 101)        # content change -> new id
+    assert _auto_input_id(d) != a
+    shutil.rmtree(d, ignore_errors=True)

@@ -23,13 +23,31 @@ def _spark(args):
     return get_spark(app=f"webr-{args.cmd}", master=args.master)
 
 
-def cmd_run(args) -> int:
+def _auto_input_id(path: str) -> str:
+    """Content-derived id: every data file's (relative path, byte size)
+    plus total rows — so swapping the input's CONTENT (even at equal row
+    count) changes the id and invalidates stale checkpoints, per
+    catalog.py's snapshot contract. File sizes come from parquet footers'
+    filesystem entries (no data scan)."""
+    import os
     from webr.catalog import fingerprint
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                parts.append(f"{os.path.relpath(p, path)}:"
+                             f"{os.path.getsize(p)}")
+    else:
+        parts.append(f"{os.path.basename(path)}:{os.path.getsize(path)}")
+    return fingerprint("auto", path, *parts)
+
+
+def cmd_run(args) -> int:
     from webr.engine import Pipeline
     spark = _spark(args)
     pages = spark.read.parquet(args.input)
-    input_id = args.input_id or fingerprint(
-        "auto", args.input, str(pages.count()))
+    input_id = args.input_id or _auto_input_id(args.input)
     out = Pipeline(spark, args.warehouse, input_id=input_id).run(pages)
     n_pages = out["mentions"].count()
     cl = out["clusters"]

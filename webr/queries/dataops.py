@@ -69,10 +69,9 @@ def _duck_band_sig(band: int) -> str:
             f"s -> md5('{band}:' || s))), 1, 12)")
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH buckets with >=2 docs: candidate near-duplicate groups.
-    At 100TB this is the shuffle-friendly path: one explode to
-    (band, sig) keys, one groupBy — never an all-pairs join."""
+def _minhash_memb(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, band, sig) LSH bucket membership — shared by the bucket
+    query and the clusters query so the banding scheme cannot diverge."""
     d = (read(spark, sf, "documents")
          .withColumn("toks", F.expr(spark_tokens("text")))
          .where(F.size("toks") >= 3)
@@ -83,7 +82,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         for b in range(_N_BANDS)])
     return (d.select("doc_id", F.explode(bands).alias("bs"))
             .select("doc_id", F.col("bs.band").alias("band"),
-                    F.col("bs.sig").alias("sig"))
+                    F.col("bs.sig").alias("sig")))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH buckets with >=2 docs: candidate near-duplicate groups.
+    At 100TB this is the shuffle-friendly path: one explode to
+    (band, sig) keys, one groupBy — never an all-pairs join."""
+    return (_minhash_memb(spark, sf)
             .groupBy("band", "sig")
             .agg(F.count("*").alias("n_docs"),
                  # scalar string, not array: the driver canonicalizer sorts
@@ -121,17 +127,7 @@ FROM b GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig
 
 def q_dedup_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from webr.cluster import connected_components
-    d = (read(spark, sf, "documents")
-         .withColumn("toks", F.expr(spark_tokens("text")))
-         .where(F.size("toks") >= 3)
-         .withColumn("shingles", F.expr(_SPARK_SHINGLES)))
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.expr(_spark_band_sig(b)).alias("sig"))
-        for b in range(_N_BANDS)])
-    memb = (d.select("doc_id", F.explode(bands).alias("bs"))
-            .select("doc_id", F.col("bs.band").alias("band"),
-                    F.col("bs.sig").alias("sig")))
+    memb = _minhash_memb(spark, sf)
     roots = (memb.groupBy("band", "sig")
              .agg(F.min("doc_id").alias("root"),
                   F.count("*").alias("c"))

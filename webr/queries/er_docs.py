@@ -437,9 +437,13 @@ def q_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     tot = d.agg(F.count("*").alias("n_docs"),
                 F.expr("count(*) * (count(*) - 1) div 2")
                 .alias("total_pairs"))
-    cand = pair_sum(d.groupBy("block_key"), "cand_pairs")
+    # NULL block keys pair with NOTHING (same invariant as
+    # bounded_pair_ids) — a NULL group must not contribute candidate or
+    # covered pairs; truth pairs stay defined over all docs
+    keyed = d.where(F.col("block_key").isNotNull())
+    cand = pair_sum(keyed.groupBy("block_key"), "cand_pairs")
     true = pair_sum(d.groupBy("fp"), "true_pairs")
-    cov = pair_sum(d.groupBy("fp", "block_key"), "covered_pairs")
+    cov = pair_sum(keyed.groupBy("fp", "block_key"), "covered_pairs")
     m = tot.crossJoin(cand).crossJoin(true).crossJoin(cov)
     rr = 1 - F.col("cand_pairs") / F.col("total_pairs")
     pc = F.col("covered_pairs") / F.greatest(F.col("true_pairs"), F.lit(1))
@@ -460,13 +464,15 @@ tot AS (SELECT count(*) AS n_docs,
 -- driver hasher mismatches against Spark's int64
 cand AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
          AS cand_pairs
-         FROM (SELECT count(*) AS c FROM d GROUP BY block_key)),
+         FROM (SELECT count(*) AS c FROM d
+               WHERE block_key IS NOT NULL GROUP BY block_key)),
 tr AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
        AS true_pairs
        FROM (SELECT count(*) AS c FROM d GROUP BY fp)),
 cov AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
         AS covered_pairs
-        FROM (SELECT count(*) AS c FROM d GROUP BY fp, block_key))
+        FROM (SELECT count(*) AS c FROM d
+              WHERE block_key IS NOT NULL GROUP BY fp, block_key))
 SELECT n_docs, total_pairs, cand_pairs, true_pairs, covered_pairs,
        round(1 - cand_pairs::DOUBLE / total_pairs, 6) AS rr,
        round(covered_pairs::DOUBLE / greatest(true_pairs, 1), 6) AS pc,

@@ -76,13 +76,21 @@ def stream_dedup_exact(pages: DataFrame, watermark: str = "2 hours",
     100 TB requirement for any streaming dedup). First arrival of each
     fingerprint wins; replays within the watermark are dropped
     exactly-once."""
-    # url fallback: a page with NULL html AND NULL text must not share a
-    # NULL fingerprint with every other contentless page
-    # (dropDuplicates treats NULL keys as equal and would keep only one)
+    # field-TAGGED fallback chain: a page with NULL html and NULL text
+    # must not share a NULL fingerprint with every other contentless page
+    # (dropDuplicates treats NULL keys as equal), and an html payload
+    # must never collide with a text/url that happens to share its bytes
     fp = (pages
           .withColumn("fp", F.md5(F.coalesce(
-              F.col("html"), F.col("text").cast("binary"),
-              F.col("url").cast("binary")))))
+              F.concat(F.lit(b"h:"), F.col("html")),
+              F.concat(F.lit(b"t:"), F.col("text").cast("binary")),
+              F.concat(F.lit(b"u:"), F.col("url").cast("binary"))))))
+    # NULL event time would fail the watermark predicate and silently
+    # discard the row — pin missing timestamps to the epoch instead
+    fp = fp.withColumn(
+        "warc_ts", F.coalesce(F.col("warc_ts"),
+                              F.lit("1970-01-01 00:00:00")
+                              .cast("timestamp_ntz")))
     return (fp.withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
 
