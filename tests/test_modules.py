@@ -471,3 +471,18 @@ def test_cli_auto_input_id_tracks_content():
     open(p, "wb").write(b"B" * 101)        # content change -> new id
     assert _auto_input_id(d) != a
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_classification_report_and_pr_curve(spark):
+    from webr.evalm import classification_report, pr_curve
+    rows = [(0.9, True)] * 8 + [(0.9, False)] * 2 \
+         + [(0.2, True)] * 1 + [(0.2, False)] * 9
+    scored = spark.createDataFrame(rows, "score double, match boolean")
+    rep = classification_report(scored, threshold=0.5).toPandas().iloc[0]
+    assert (rep.tp, rep.fp, rep.fn, rep.tn) == (8, 2, 1, 9)
+    assert rep.precision == 0.8 and rep.f1 == round(2*0.8*(8/9)/(0.8+8/9), 6)
+    curve = pr_curve(scored).toPandas()
+    assert list(curve.thr) == [0.9, 0.2]
+    assert list(curve.n_pred) == [10, 20]
+    assert list(curve.n_tp) == [8, 9]
+    assert curve.recall.iloc[-1] == 1.0  # lowest threshold recalls all
