@@ -191,7 +191,17 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
 
     Two phases: unconstrained CC bounds each component, then the
     cannot-link replay (webr.constraints) splits components that merged
-    name-incompatible mentions through an initial-only bridge."""
+    name-incompatible mentions through an initial-only bridge.
+
+    The replay is pay-per-use: a component whose members all carry ONE
+    exact (first, middle) signature can never veto a union
+    (``names_compatible`` is reflexive — empty/initial/full each match
+    themselves), so the constrained replay is the identity there and the
+    component keeps its CC representative directly. Only
+    name-HETEROGENEOUS components (>1 distinct signature) go through the
+    Python cogroup — on real corpora that is a small fraction, so the
+    clusters stage costs ~one extra groupBy instead of shipping every
+    member+edge through Arrow."""
     # materialize the CC result once — it feeds the refine cogroup AND the
     # noise anti-join; without this the union-find ladder re-runs per
     # consumer.
@@ -200,12 +210,28 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True))
     members = comp.join(
         mentions.select("url", "first", "middle"), "url")
-    comp_edges = edges.join(
+    stats = (members.groupBy("comp")
+             .agg(F.countDistinct(F.struct("first", "middle"))
+                  .alias("nsig"),
+                  F.count("*").alias("csize")))
+    members = members.join(stats, "comp")
+    # homogeneous fast path: replay would union the whole component (no
+    # veto possible) and keep it iff its size >= MIN_PTS; rep is the
+    # component min, which IS the CC label (union-by-min both sides)
+    hom = (members.where((F.col("nsig") == 1)
+                         & (F.col("csize") >= spec.MIN_PTS))
+           .select("url", F.col("comp").alias("rep")))
+    het = (members.where(F.col("nsig") > 1)
+           .select("comp", "url", "first", "middle"))
+    het_comps = stats.where(F.col("nsig") > 1).select(
+        F.col("comp").alias("comp_e"))
+    comp_edges = (edges.join(
         comp.select(F.col("url").alias("url_1"),
                     F.col("comp").alias("comp_e")), "url_1")
+        .join(het_comps, "comp_e", "left_semi"))
     # refine emits only urls whose constrained sub-cluster kept
     # >= MIN_PTS members (vetoed bridges drop out and become noise)
-    labels = (_constrained_refine(members, comp_edges)
+    labels = (hom.unionByName(_constrained_refine(het, comp_edges))
               .localCheckpoint(eager=True))
     reps = labels.select("rep").distinct()
     rep_ids = (reps.orderBy("rep").rdd
