@@ -105,6 +105,56 @@ def test_doc_components_oracle_match_mega(spark, mega_sf_dir):
                                   check_dtype=False)
 
 
+@pytest.fixture(scope="module")
+def identical_sf_dir():
+    """200 byte-identical texts: every simhash (band, word) bucket and
+    every minhash (band, sig) bucket contains ALL 200 docs — the
+    hot-bucket worst case."""
+    d = tempfile.mkdtemp(prefix="webr_hotword_")
+    rows = [{"doc_id": i,
+             "text": "alpha beta gamma delta epsilon zeta shared body",
+             "lang": "en", "source": "mega.example.com", "n_chars": 48}
+            for i in range(200)]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_simhash64_hot_word_bounded(spark, identical_sf_dir):
+    """One hot (band, word) bucket must produce O(n*W) candidate pairs via
+    the sorted-neighborhood guard — never n*(n-1)/2 — and the DuckDB
+    oracle must mirror the rule exactly."""
+    from webr.queries.dataops import (
+        _sql_simhash64_pairs, q_simhash64_pairs,
+    )
+    got = q_simhash64_pairs(spark, identical_sf_dir).toPandas()
+    want = _duck(identical_sf_dir, _sql_simhash64_pairs())
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    # all 4 bands yield the SAME bounded pair set (identical docs =>
+    # identical words => identical doc_id ordering per bucket), so
+    # after distinct: exactly the one-bucket sorted-neighborhood count
+    n, w = 200, spec.SN_WINDOW
+    assert len(got) == n * w - w * (w + 1) // 2
+
+
+def test_minhash_lsh_doc_ids_cell_bounded(spark, identical_sf_dir):
+    """A mega bucket reports its full n_docs but samples at most
+    _LSH_IDS_CAP ids into the doc_ids cell (no unbounded reducer cell);
+    oracle mirrors the cap."""
+    from webr.queries.dataops import (
+        _LSH_IDS_CAP, SQL_DEDUP_MINHASH_LSH, q_dedup_minhash_lsh,
+    )
+    got = q_dedup_minhash_lsh(spark, identical_sf_dir).toPandas()
+    want = _duck(identical_sf_dir, SQL_DEDUP_MINHASH_LSH)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert (got.doc_ids.str.count(",") + 1 <= _LSH_IDS_CAP).all()
+    # every bucket holds all 200 docs — far over the cap, so the sample
+    # bound is exercised for real
+    assert (got.n_docs == 200).all()
+
+
 def test_null_block_keys_pair_with_nothing(spark):
     """Mega group of NULL block keys (empty/garbage text) must produce
     ZERO pairs on both engines — SQL join semantics, not a NULL window

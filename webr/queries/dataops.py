@@ -85,16 +85,31 @@ def _minhash_memb(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("bs.sig").alias("sig")))
 
 
+# per-bucket id sample cap: a 100 TB mega-bucket must not materialize a
+# multi-GB doc_ids cell in one reducer — n_docs carries the full count,
+# the id list is a bounded sample (the clusters query below supersedes
+# the full membership anyway), and the window rn<=cap means the
+# collect_list buffer itself is bounded, not just the output cell
+_LSH_IDS_CAP = 20
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH buckets with >=2 docs: candidate near-duplicate groups.
     At 100TB this is the shuffle-friendly path: one explode to
-    (band, sig) keys, one groupBy — never an all-pairs join."""
+    (band, sig) keys, one groupBy — never an all-pairs join. The window
+    and the groupBy share the (band, sig) partitioning, so rn costs a
+    sort, not a second shuffle."""
+    wrn = Window.partitionBy("band", "sig").orderBy("doc_id")
     return (_minhash_memb(spark, sf)
+            .withColumn("rn", F.row_number().over(wrn))
             .groupBy("band", "sig")
             .agg(F.count("*").alias("n_docs"),
                  # scalar string, not array: the driver canonicalizer sorts
-                 # cell values and cannot hash list-typed cells
-                 F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+                 # cell values and cannot hash list-typed cells; collect
+                 # only the cap smallest ids (collect_list skips NULLs)
+                 F.array_join(F.array_sort(F.collect_list(
+                     F.when(F.col("rn") <= _LSH_IDS_CAP,
+                            F.col("doc_id")))), ",")
                  .alias("doc_ids"))
             .where(F.col("n_docs") >= 2)
             .orderBy("band", "sig"))
@@ -113,7 +128,8 @@ WITH s AS (
   WHERE len(toks) >= 3),
 b AS ({_duck_band_rows()})
 SELECT band, sig, count(*) AS n_docs,
-       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+       array_to_string(list_sort(list(doc_id))[1:{_LSH_IDS_CAP}], ',')
+       AS doc_ids
 FROM b GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig
 """
 
@@ -267,6 +283,13 @@ def _spark_sim64_word(w: int) -> str:
 
 
 def q_simhash64_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate join is the (band, word) bucket self-join ROUTED THROUGH
+    the mega-block guard (bounded_pair_ids on the composite key):
+    boilerplate-heavy corpora concentrate majority-vote words, and one
+    hot (band, word) bucket must cost O(n*W) candidates, not O(n^2) —
+    same rule as every other self-join in the repo. The 16-bit words ride
+    a slim id-only pair frame and join back once per side."""
+    from webr.queries.er_docs import bounded_pair_ids
     d = (read(spark, sf, "documents")
          .withColumn("tset",
                      F.array_sort(F.array_distinct(
@@ -279,22 +302,22 @@ def q_simhash64_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bands = F.array(*[
         F.struct(F.lit(w).alias("band"), F.col(f"w{w}").alias("word"))
         for w in range(4)])
-    memb = (d.withColumn("bw", F.explode(bands))
-            .select("doc_id", "w0", "w1", "w2", "w3",
-                    F.col("bw.band").alias("band"),
-                    F.col("bw.word").alias("word")))
-    a, b = memb.alias("a"), memb.alias("b")
+    memb = (d.select("doc_id", F.explode(bands).alias("bw"))
+            .select("doc_id",
+                    F.concat_ws(":", F.col("bw.band"),
+                                F.col("bw.word")).alias("bkey")))
+    p = (bounded_pair_ids(memb, key="bkey")
+         .select("doc_id_1", "doc_id_2").distinct())
     ham = sum(
-        F.bit_count(F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}")))
+        F.bit_count(F.col(f"w{w}_1").bitwiseXOR(F.col(f"w{w}_2")))
         for w in range(4))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.word") == F.col("b.word"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2"),
+    side = [d.select(F.col("doc_id").alias(f"doc_id_{s}"),
+                     *[F.col(f"w{w}").alias(f"w{w}_{s}")
+                       for w in range(4)]) for s in (1, 2)]
+    return (p.join(side[0], "doc_id_1").join(side[1], "doc_id_2")
+            .select("doc_id_1", "doc_id_2",
                     ham.cast("long").alias("hamming"))
             .where(F.col("hamming") <= _SIMHASH64_HAM)
-            .distinct()
             .orderBy("doc_id_1", "doc_id_2"))
 
 
@@ -311,11 +334,12 @@ def _sql_simhash64_pairs() -> str:
             for j in range(16))
         return v, bits
 
+    from webr.queries.er_docs import duck_bounded_pairs
     quad = ", ".join(word(w)[0] for w in range(4))
     words = ", ".join(
         f"CAST({word(w)[1]} AS BIGINT) AS w{w}" for w in range(4))
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, w0, w1, w2, w3, {w} AS band, w{w} AS word FROM s"
+        f"SELECT doc_id, {w} AS band, w{w} AS word FROM s"
         for w in range(4))
     ham = " + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(4))
     return f"""
@@ -328,11 +352,15 @@ t AS (SELECT doc_id,
                             m -> [{quad}]) AS hq
       FROM tok WHERE len(tset) >= 1),
 s AS (SELECT doc_id, {words} FROM t),
-memb AS ({band_rows})
-SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       CAST({ham} AS BIGINT) AS hamming
-FROM memb a JOIN memb b
-  ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
+memb AS (SELECT doc_id,
+                CAST(band AS VARCHAR) || ':' || CAST(word AS VARCHAR)
+                AS bkey
+         FROM ({band_rows})),
+{duck_bounded_pairs("SELECT doc_id, bkey FROM memb", key="bkey")},
+p AS (SELECT DISTINCT doc_id_1, doc_id_2 FROM cand)
+SELECT p.doc_id_1, p.doc_id_2, CAST({ham} AS BIGINT) AS hamming
+FROM p JOIN s a ON a.doc_id = p.doc_id_1
+       JOIN s b ON b.doc_id = p.doc_id_2
 WHERE {ham} <= {_SIMHASH64_HAM}
 ORDER BY doc_id_1, doc_id_2
 """
