@@ -31,6 +31,70 @@ def test_query_matches_own_cluster(spark, pipeline_out, corpus_pd):
         assert top1.get(u) == expected[u], (u, top1.get(u), expected[u])
 
 
+def test_query_eval_exact_counts(spark):
+    """query_eval arithmetic on a hand-built result/gold table: every
+    count and ratio is exact (ref exp1:320-345 accuracy@K / avg rank /
+    no-match correctness)."""
+    from webr.evalm import query_eval
+    # q1: gold at rank 1; q2: gold at rank 3; q3: gold exists, absent
+    # from results (miss); q4: no gold, empty result (correct no-match);
+    # q5: no gold but a result came back (incorrect no-match)
+    res = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2),
+         ("q2", 20, 1), ("q2", 21, 2), ("q2", 22, 3),
+         ("q5", 50, 1)],
+        "q_url string, cluster_id long, rank long")
+    gold = spark.createDataFrame(
+        [("q1", 10), ("q2", 22), ("q3", 30), ("q4", None), ("q5", None)],
+        "q_url string, cluster_id long")
+    row = query_eval(res, gold, k=10).toPandas().iloc[0]
+    assert row.n_queries == 5 and row.n_with_gold == 3
+    assert row.acc_at_1 == round(1 / 3, 6)
+    assert row.acc_at_k == round(2 / 3, 6)
+    assert row.avg_rank == 2.0          # gold ranks found: 1 and 3
+    assert row.n_missed == 1            # q3
+    assert row.no_match_correct == 0.5  # q4 yes, q5 no
+    # tighter k drops q2's rank-3 gold hit
+    row2 = query_eval(res, gold, k=2).toPandas().iloc[0]
+    assert row2.acc_at_k == round(1 / 3, 6) and row2.avg_rank == 1.0
+
+
+def test_query_eval_pipeline_perfect(spark, pipeline_out, corpus_pd):
+    """Held-in pages evaluated against their own clusters: accuracy@1 = 1,
+    avg rank = 1, and the unmatchable record counts as a correct
+    no-match."""
+    from webr import spec
+    from webr.evalm import query_eval
+    clusters = pipeline_out["clusters"]
+    non_noise = clusters.where(~F.col("is_noise")).limit(500).toPandas()
+    picks = non_noise.drop_duplicates("cluster_id").head(4)
+    urls = list(picks.url)
+    import pandas as pd
+    nm_url = "https://nowhere.example/eval-nomatch"
+    nomatch = pd.DataFrame([{
+        "url": nm_url, "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": (b"<html><head><title>zzz</title></head><body>"
+                 b"<h1>Xqz Vvkw</h1><p>unseen tokens qqq www eee</p>"
+                 b"</body></html>"),
+        "text": "", "lang": "eng"}])
+    qpd = pd.concat(
+        [corpus_pd[corpus_pd.url.isin(urls)]
+         [["url", "warc_ts", "html", "text", "lang"]], nomatch],
+        ignore_index=True)
+    qpages = spark.createDataFrame(qpd, schema=schema.PAGES)
+    res = match_records(qpages, pipeline_out["idf"],
+                        pipeline_out["entities"], clusters,
+                        pipeline_out["mention_feats"])
+    gold = spark.createDataFrame(
+        [(u, int(c)) for u, c in zip(picks.url, picks.cluster_id)]
+        + [(nm_url, None)], "q_url string, cluster_id long")
+    row = query_eval(res, gold, k=spec.TOP_K).toPandas().iloc[0]
+    assert row.n_queries == 5 and row.n_with_gold == 4
+    assert row.acc_at_1 == 1.0 and row.acc_at_k == 1.0
+    assert row.avg_rank == 1.0 and row.n_missed == 0
+    assert row.no_match_correct == 1.0
+
+
 def test_query_no_match(spark, pipeline_out):
     html = (b"<html><head><title>zzz</title></head><body>"
             b"<h1>Xqz Vvkw</h1><p>unseen tokens qqq www eee</p>"

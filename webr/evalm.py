@@ -44,6 +44,54 @@ def pr_curve(scored: DataFrame, label_col: str = "match",
             .orderBy(F.desc("thr")))
 
 
+def query_eval(results: DataFrame, gold: DataFrame,
+               k: int = 10) -> DataFrame:
+    """Quality metrics of the incremental record query (ref
+    record_based_query_exp1.py:135-362, esp. :320-345: accuracy@K=10,
+    average rank, no-match correctness).
+
+    ``results``: match_records output (q_url, cluster_id, rank, ...).
+    ``gold``: (q_url, cluster_id) — the true cluster per query; a NULL
+    cluster_id marks a query whose correct answer is "no match".
+
+    One row: n_queries / n_with_gold, accuracy@1, accuracy@k, average
+    rank of the gold cluster where found, misses (gold exists but absent
+    from top-k), and the no-match queries answered correctly with an
+    empty result. Distributed shape: one join on q_url + two bounded
+    aggregations — the curve never rescans the result table per metric.
+    All ratios divide exact integer counts (round 6)."""
+    g = gold.select("q_url", F.col("cluster_id").alias("gold_cid"))
+    r = (results.where(F.col("rank") <= k)
+         .select("q_url", F.col("cluster_id").alias("pred_cid"), "rank"))
+    per_q = (g.join(r, "q_url", "left")
+             .groupBy("q_url", "gold_cid")
+             .agg(F.min(F.when(F.col("pred_cid") == F.col("gold_cid"),
+                               F.col("rank"))).alias("gold_rank"),
+                  F.count("pred_cid").alias("n_returned")))
+    has_gold = F.col("gold_cid").isNotNull()
+    agg = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(has_gold.cast("long")).alias("n_with_gold"),
+        F.sum((F.col("gold_rank") == 1).cast("long")).alias("n_acc1"),
+        F.sum(F.col("gold_rank").isNotNull().cast("long")).alias("n_acck"),
+        F.sum(F.coalesce("gold_rank", F.lit(0))).alias("rank_sum"),
+        F.sum((has_gold & (F.col("n_returned") == 0)).cast("long"))
+        .alias("n_missed"),
+        F.sum((~has_gold).cast("long")).alias("n_no_gold"),
+        F.sum((~has_gold & (F.col("n_returned") == 0)).cast("long"))
+        .alias("n_no_match_correct"))
+    safe = lambda num, den: F.round(  # noqa: E731
+        num / F.greatest(den, F.lit(1)), 6)
+    return agg.select(
+        "n_queries", "n_with_gold",
+        safe(F.col("n_acc1"), F.col("n_with_gold")).alias("acc_at_1"),
+        safe(F.col("n_acck"), F.col("n_with_gold")).alias("acc_at_k"),
+        safe(F.col("rank_sum"), F.col("n_acck")).alias("avg_rank"),
+        "n_missed",
+        safe(F.col("n_no_match_correct"), F.col("n_no_gold"))
+        .alias("no_match_correct"))
+
+
 def classification_report(scored: DataFrame, threshold: float,
                           label_col: str = "match",
                           score_col: str = "score") -> DataFrame:

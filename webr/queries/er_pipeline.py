@@ -67,8 +67,49 @@ def q_record_query_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("q_url", "rank"))
 
 
+def q_query_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-path quality eval (ref record_based_query_exp1.py:135-362):
+    accuracy@1/@K, average gold rank, misses, and no-match correctness
+    over the deterministic corpus — five held-in pages (gold = their own
+    cluster; a noise page's gold is NULL = no-match expected) plus one
+    fabricated unseen-author page that must return an empty result.
+    Exact counts are pinned by tests/test_query.py::test_query_eval_*."""
+    import pandas as pd
+
+    from webr import spec
+    from webr.evalm import query_eval
+    from webr.query import match_records
+    pages_pd = pages_to_pandas(generate_pages(
+        n_entities=_N_ENTITIES, pages_per_entity=_PAGES_PER_ENTITY,
+        seed=_SEED))
+    out = _run(spark)
+    urls = sorted(pages_pd.url)[:: max(len(pages_pd) // 5, 1)][:5]
+    nm_url = "https://nomatch.example.net/p/zq-0001"
+    nomatch = pd.DataFrame([{
+        "url": nm_url, "warc_ts": pd.Timestamp("2020-01-01"),
+        "html": (b"<html><head><title>unseen</title></head><body>"
+                 b"<h1>Zebulon Quixote</h1><p>entirely unrelated gibberish"
+                 b" tokens qqq www eee</p></body></html>"),
+        "text": "", "lang": "eng"}])
+    qpages_pd = pd.concat(
+        [pages_pd[pages_pd.url.isin(urls)]
+         [["url", "warc_ts", "html", "text", "lang"]], nomatch],
+        ignore_index=True)
+    qpages = spark.createDataFrame(qpages_pd, schema=schema.PAGES)
+    res = match_records(qpages, out["idf"], out["entities"],
+                        out["clusters"], out["mention_feats"])
+    gold = (out["clusters"].where(F.col("url").isin(urls))
+            .select(F.col("url").alias("q_url"),
+                    F.when(~F.col("is_noise"), F.col("cluster_id"))
+                    .alias("cluster_id"))
+            .unionByName(spark.createDataFrame(
+                [(nm_url, None)], "q_url string, cluster_id long")))
+    return query_eval(res, gold, k=spec.TOP_K)
+
+
 QUERIES = {
     "er_pipeline_clusters": (q_er_clusters, None),
     "er_pipeline_entities": (q_er_entities, None),
     "record_query_topk": (q_record_query_topk, None),
+    "query_eval": (q_query_eval, None),
 }
