@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from webr.queries.common import read
+from webr.queries.er_docs import duck_bounded_pairs
 
 
 # --- Q1-style aggregation (A-family: partial aggs, P-family pushdown) -------
@@ -228,6 +229,88 @@ ORDER BY priority, status
 """
 
 
+# --- time-era bucket + capped time-diff pair features (F10/F11 analogs:
+# ref classifier/feature_vector.py:143-164 buckets publication years into
+# eras; feature_vector_bow.py:159-165 caps |year diff|. The web graft's
+# time axis is crawl time; these re-express the same two features over
+# the driver's dated table so each has an exact DuckDB oracle) ---------------
+
+_ERA_SPARK = ("CASE WHEN year(o_orderdate) <= 1996 THEN 'early' "
+              "WHEN year(o_orderdate) <= 1999 THEN 'mid' "
+              "ELSE 'late' END")
+_ERA_DUCK = _ERA_SPARK  # identical ANSI CASE expression
+_DAY_DIFF_CAP = 365
+
+
+def q_time_era_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """F10 analog: when/otherwise era bucket on the year, counted per
+    bucket — exact integer arithmetic only."""
+    o = read(spark, sf, "orders").withColumn("era", F.expr(_ERA_SPARK))
+    return (o.groupBy("era")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.min(F.year("o_orderdate")).alias("min_year"),
+                 F.max(F.year("o_orderdate")).alias("max_year"))
+            .orderBy("era"))
+
+
+SQL_TIME_ERA_BUCKET = f"""
+SELECT {_ERA_DUCK} AS era,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(min(year(o_orderdate)) AS INT) AS min_year,
+       CAST(max(year(o_orderdate)) AS INT) AS max_year
+FROM orders GROUP BY era ORDER BY era
+"""
+
+
+def q_time_diff_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """F11 analog on PAIRS: per-customer order pairs (through the shared
+    mega-block guard — a hot key must stay O(n*W)) with the capped
+    absolute day diff ``least(cap, abs(datediff))`` and the F10-style
+    same-era flag, aggregated to exact integer stats per era-match."""
+    from webr.queries.er_docs import bounded_pair_ids
+    o = (read(spark, sf, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 F.expr(_ERA_SPARK).alias("era")))
+    side = [o.select(F.col("o_orderkey").alias(f"o_orderkey_{s}"),
+                     F.col("o_orderdate").alias(f"d_{s}"),
+                     F.col("era").alias(f"era_{s}")) for s in (1, 2)]
+    p = (bounded_pair_ids(o, key="o_custkey", id_col="o_orderkey")
+         .join(side[0], "o_orderkey_1").join(side[1], "o_orderkey_2"))
+    diff = F.least(F.lit(_DAY_DIFF_CAP),
+                   F.abs(F.datediff(F.col("d_2"), F.col("d_1"))))
+    return (p.select((F.col("era_1") == F.col("era_2")).alias("same_era"),
+                     diff.alias("dd"))
+            .groupBy("same_era")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("dd").alias("sum_day_diff"),
+                 F.sum((F.col("dd") == _DAY_DIFF_CAP).cast("long"))
+                 .alias("n_capped"))
+            .orderBy("same_era"))
+
+
+SQL_TIME_DIFF_PAIRS = f"""
+WITH od AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                   {_ERA_DUCK} AS era
+            FROM orders),
+{duck_bounded_pairs("SELECT o_orderkey, o_custkey FROM od",
+                    key="o_custkey", id_col="o_orderkey")},
+d AS (
+  SELECT a.era = b.era AS same_era,
+         least({_DAY_DIFF_CAP},
+               abs(date_diff('day', a.o_orderdate, b.o_orderdate))) AS dd
+  FROM cand c
+  JOIN od a ON a.o_orderkey = c.o_orderkey_1
+  JOIN od b ON b.o_orderkey = c.o_orderkey_2)
+SELECT same_era, count(*) AS n_pairs,
+       CAST(sum(dd) AS BIGINT) AS sum_day_diff,
+       CAST(sum(CASE WHEN dd = {_DAY_DIFF_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped
+FROM d GROUP BY same_era ORDER BY same_era
+"""
+
+
 QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
@@ -237,4 +320,6 @@ QUERIES = {
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+    "time_era_bucket": (q_time_era_bucket, SQL_TIME_ERA_BUCKET),
+    "time_diff_pairs": (q_time_diff_pairs, SQL_TIME_DIFF_PAIRS),
 }
