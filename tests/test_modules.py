@@ -260,6 +260,16 @@ def test_warehouse_merge_upsert(spark, warehouse_dir):
     # merging into a missing table degrades to a plain write
     wh.merge("fresh", upd, keys=["cluster_id"], snapshot="snap-f1")
     assert wh.manifest("fresh")["snapshot"] == "snap-f1"
+    # duplicate key tuples in the incoming df must be rejected, not
+    # silently inserted twice
+    dup = spark.createDataFrame(
+        [(5, "eve", 1), (5, "evelyn", 2)],
+        "cluster_id long, canonical_name string, n_members long")
+    with pytest.raises(ValueError, match="not unique"):
+        wh.merge("entities", dup, keys=["cluster_id"], snapshot="snap-v3")
+    # the failed merge left the table untouched
+    assert wh.manifest("entities")["snapshot"] == "snap-v2"
+    assert wh.read("entities").count() == 4
 
 
 def test_learned_blocking_cnf(spark):
@@ -469,7 +479,22 @@ def test_cli_auto_input_id_tracks_content():
     a = _auto_input_id(d)
     assert a == _auto_input_id(d)          # deterministic
     open(p, "wb").write(b"B" * 101)        # content change -> new id
-    assert _auto_input_id(d) != a
+    b = _auto_input_id(d)
+    assert b != a
+    # SAME-SIZE rewrite must still change the id (mtime in fingerprint)
+    os.utime(p, ns=(1, 1))
+    c = _auto_input_id(d)
+    open(p, "wb").write(b"C" * 101)
+    os.utime(p, ns=(2, 2))
+    assert _auto_input_id(d) != c
+    # real parquet: row count from the footer reaches the fingerprint
+    import pandas as pd
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(p)
+    os.utime(p, ns=(3, 3))
+    r3 = _auto_input_id(d)
+    pd.DataFrame({"x": [1, 2]}).to_parquet(p)
+    os.utime(p, ns=(3, 3))
+    assert _auto_input_id(d) != r3
     shutil.rmtree(d, ignore_errors=True)
 
 

@@ -31,6 +31,29 @@ def test_query_matches_own_cluster(spark, pipeline_out, corpus_pd):
         assert top1.get(u) == expected[u], (u, top1.get(u), expected[u])
 
 
+def test_query_batch_shares_candidate_join(spark, pipeline_out, corpus_pd):
+    """Batch query path (ref record_based_query_exp2.py:124-150 caches
+    cluster profiles by name key across queries): 100 query pages in ONE
+    match_records call share the stage-1 entity join and each still ranks
+    its own cluster first."""
+    clusters = pipeline_out["clusters"]
+    non_noise = clusters.where(~F.col("is_noise")).toPandas()
+    picks = non_noise.head(100)
+    urls = list(picks.url)
+    expected = dict(zip(picks.url, picks.cluster_id))
+    qpages = spark.createDataFrame(
+        corpus_pd[corpus_pd.url.isin(urls)]
+        [["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES)
+    res = match_records(qpages, pipeline_out["idf"],
+                        pipeline_out["entities"], clusters,
+                        pipeline_out["mention_feats"]).toPandas()
+    top1 = res[res["rank"] == 1].set_index("q_url")["cluster_id"].to_dict()
+    assert len(top1) == len(urls)
+    for u in urls:
+        assert top1.get(u) == expected[u], (u, top1.get(u), expected[u])
+
+
 def test_query_eval_exact_counts(spark):
     """query_eval arithmetic on a hand-built result/gold table: every
     count and ratio is exact (ref exp1:320-345 accuracy@K / avg rank /

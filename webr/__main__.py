@@ -24,22 +24,33 @@ def _spark(args):
 
 
 def _auto_input_id(path: str) -> str:
-    """Content-derived id: every data file's (relative path, byte size)
-    plus total rows — so swapping the input's CONTENT (even at equal row
-    count) changes the id and invalidates stale checkpoints, per
-    catalog.py's snapshot contract. File sizes come from parquet footers'
-    filesystem entries (no data scan)."""
+    """Content-derived id: every data file's (relative path, byte size,
+    mtime) plus per-parquet-file row counts from the footers (pyarrow
+    metadata read, no data scan) — so swapping the input's CONTENT, even
+    a same-size in-place rewrite, changes the id and invalidates stale
+    checkpoints, per catalog.py's snapshot contract."""
     import os
     from webr.catalog import fingerprint
+
+    def stat_parts(p: str, rel: str) -> str:
+        rows = ""
+        if p.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+                rows = str(pq.ParquetFile(p).metadata.num_rows)
+            except Exception:
+                rows = "?"
+        st = os.stat(p)
+        return f"{rel}:{st.st_size}:{st.st_mtime_ns}:{rows}"
+
     parts: list[str] = []
     if os.path.isdir(path):
         for root, _dirs, files in sorted(os.walk(path)):
             for f in sorted(files):
                 p = os.path.join(root, f)
-                parts.append(f"{os.path.relpath(p, path)}:"
-                             f"{os.path.getsize(p)}")
+                parts.append(stat_parts(p, os.path.relpath(p, path)))
     else:
-        parts.append(f"{os.path.basename(path)}:{os.path.getsize(path)}")
+        parts.append(stat_parts(path, os.path.basename(path)))
     return fingerprint("auto", path, *parts)
 
 

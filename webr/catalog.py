@@ -105,7 +105,17 @@ class Warehouse:
         Distributed shape: one left_anti join on the key columns + union —
         no collect, scales with the table. On a real catalog this maps to
         MERGE INTO and this facade keeps the call shape."""
+        import pyspark.sql.functions as F
         cur = self.manifest(table)
+        # MERGE semantics need one row per key tuple in the incoming df —
+        # duplicates would all survive the anti-join and insert twice;
+        # fail loudly instead of silently corrupting the table
+        dup = (df.groupBy(keys).agg(F.count("*").alias("__n"))
+               .where(F.col("__n") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                f"merge into {table!r}: incoming rows are not unique on "
+                f"key {keys} — dedupe deterministically before merging")
         if cur is None:
             return self.write(table, df, snapshot, lineage)
         existing = self.read(table)
@@ -119,18 +129,22 @@ class Warehouse:
         lin["parent"] = cur["snapshot"]
         lin["merge_keys"] = keys
         self.write(tmp, merged, snapshot, lin)
-        staged = os.path.join(self._dir(tmp), "data")
-        final = self._dir(table)
-        shutil.rmtree(final)
-        os.makedirs(final)
-        os.rename(staged, os.path.join(final, "data"))
-        os.rename(self._manifest_path(tmp), self._manifest_path(table))
-        shutil.rmtree(self._dir(tmp), ignore_errors=True)
-        # manifest 'table' field still says __merge_tmp; fix it
-        man = self.manifest(table)
+        # fix the staged manifest's table name BEFORE the swap, so the
+        # final state lands in ONE rename of a fully-consistent dir
+        man = self.manifest(tmp)
         man["table"] = table
-        with open(self._manifest_path(table), "w") as f:
+        with open(self._manifest_path(tmp), "w") as f:
             json.dump(man, f, indent=1)
+        # crash-safe swap: old table stays intact under __old until the
+        # staged dir is in place — a failure window leaves either the old
+        # table (pre-first-rename) or a recoverable __old backup, never a
+        # table with no data and no manifest
+        final = self._dir(table)
+        backup = f"{final}__old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(final, backup)
+        os.rename(self._dir(tmp), final)
+        shutil.rmtree(backup, ignore_errors=True)
         return self.read(table)
 
     def drop(self, table: str) -> None:

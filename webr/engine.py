@@ -66,8 +66,12 @@ def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
 
 # vocab sizes up to this broadcast as a plain dict into the Python pass
 # (zero shuffles); above it, the distributed join fallback runs instead.
+# 1M entries ~ 100-200 MB as a Python dict PER python worker process —
+# with 32 workers per host that is the practical executor-memory ceiling
+# (a 5M cap measured ~0.5-1 GB/worker). The fallback is bitwise-identical
+# (tested), so the cap trades only a little speed, never correctness.
 VOCAB_BROADCAST_MAX = int(os.environ.get("WEBR_VOCAB_BROADCAST_MAX",
-                                         "5000000"))
+                                         "1000000"))
 
 
 def build_mention_feats(mentions: DataFrame, idf: DataFrame,
@@ -328,22 +332,23 @@ def build_entities(mentions: DataFrame, idf: DataFrame,
         F.sum(F.when(F.col("kind") == "name", F.col("cnt"))
               .otherwise(F.lit(0))).alias("n_members"),
         F.expr("transform(array_sort(collect_list(case when kind = 'host' "
-               "and rn <= 8 then struct(rn, val) end)), x -> x.val)")
-        .alias("hosts8")))
+               "then struct(rn, val) end)), x -> x.val)")
+        .alias("hosts_ranked")))
     # top-3 hosts after substring-containment dedup in rank order (A6,
-    # ref import_clusters.py:148-166 dedups top affils the same way:
-    # 'sub.mega.example.com' and 'mega.example.com' collapse to the
-    # higher-ranked one), so we over-collect 8 and keep 3 survivors.
+    # ref import_clusters.py:148-179 scans the FULL ranked list until 3
+    # survive: 'sub.mega.example.com' and 'mega.example.com' collapse to
+    # the higher-ranked one). The ranked list is bounded by the cluster's
+    # distinct-host count (entity-sized), so collecting it whole is safe.
     # The fold compares each host against the SURVIVORS so far — not
     # against already-dropped entries, which would eliminate an
     # unrelated host transitively through a dropped middleman
     stats = (stats.withColumn(
         "hosts",
-        F.expr("aggregate(hosts8, cast(array() as array<string>), "
+        F.expr("aggregate(hosts_ranked, cast(array() as array<string>), "
                "(acc, x) -> CASE WHEN size(acc) >= 3 OR exists(acc, "
                "y -> instr(y, x) > 0 OR instr(x, y) > 0) "
                "THEN acc ELSE array_append(acc, x) END)"))
-        .drop("hosts8"))
+        .drop("hosts_ranked"))
 
     # cluster BoW profile: sum member tf*idf per token, keep top-N (A5).
     # idf(token) is constant across members, so sum(tf)*idf == the

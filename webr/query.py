@@ -133,7 +133,15 @@ def match_records(query_pages: DataFrame, idf: DataFrame,
                   mention_feats: DataFrame) -> DataFrame:
     """-> (q_url, cluster_id, votes, cluster_cos, rank): top-K existing
     clusters for each query page; empty result for a query = no match
-    (ref record_based_query_exp1.py:166-174 'no-match correct')."""
+    (ref record_based_query_exp1.py:166-174 'no-match correct').
+
+    Batch-friendly by construction: pass MANY query pages in one call and
+    the stage-1 name-key candidate join against the entity table runs
+    ONCE for the whole batch (the distributed analog of ref
+    record_based_query_exp2.py:124-150's per-name-key profile cache —
+    there the cache avoids refetching cluster profiles per query; here
+    one broadcast-join stage amortizes the same work across the batch).
+    Tested with a 100-query batch in tests/test_query.py."""
     qf = prepare_query_mentions(query_pages, idf)
     s1 = _stage1(qf, entities)
     return _stage2(qf, s1, clusters, mention_feats)

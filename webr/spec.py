@@ -19,8 +19,14 @@ Anything here changes => goldens change; bump SCORING_VERSION.
 # v6: cannot-link constraint replay after CC (webr.constraints) —
 #     clusters are all-pairs name-compatible; vetoed bridges -> noise
 SCORING_VERSION = "v7"  # v7: pair_scores carries F7/F8 categorical
-                        # first/middle match columns (scores unchanged;
-                        # version bump invalidates old-schema checkpoints)
+                        # first/middle match columns, AND two score-
+                        # arithmetic changes that can perturb body_cos on
+                        # affected pairs: sparse_cosine_sorted switched
+                        # from a sequential fold to np.sum (pairwise
+                        # summation) and weight_arrays now merges 60-bit
+                        # hash collisions into one entry. The bump
+                        # invalidates old checkpoints for BOTH reasons —
+                        # don't trust pre-v7 scores in parity debugging.
 
 # clustering thresholds (ref author_disambiguation.py:16-17)
 EPS = 0.85          # edge iff score >= EPS
