@@ -3,6 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The default mode taskset-pins the process tree to exactly $CPUS cores
+and keeps the best of $SPARK_GRAFT_BENCH_RUNS (default 2) runs per
+query — same discipline as --scaling — so round-over-round headline
+deltas measure the code, not host contention.
+
 Modes:
   python bench.py                  # headline bench (one JSON line)
   python bench.py --er-only        # just the ER pipeline (pages/sec)
@@ -25,6 +30,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ER_SCALE = float(os.environ.get("SPARK_GRAFT_ER_SCALE", "5"))
+# headline runs per query (min kept): wall-clock on this shared host is
+# ±20-50% noisy run-to-run; the minimum is the least-contended execution
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def _pin_self() -> None:
+    """Re-exec the whole bench under taskset (same rule as --scaling):
+    unpinned, the JVM GC/shuffle threads and Python workers wander the
+    host's CPUs and round-over-round deltas are mostly host noise."""
+    if shutil.which("taskset") and not os.environ.get("WEBR_BENCH_PINNED"):
+        env = dict(os.environ, WEBR_BENCH_PINNED="1")
+        os.execvpe("taskset",
+                   ["taskset", "-c", f"0-{CPUS - 1}", sys.executable,
+                    os.path.abspath(__file__)] + sys.argv[1:], env)
 
 HEADLINE = [
     "lineitem_agg", "revenue_by_nation", "top_orders_per_customer",
@@ -55,9 +74,13 @@ def bench_queries(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.monotonic()
-        _materialize(fn(spark, SF_DIR))
-        out[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(BENCH_RUNS):
+            t0 = time.monotonic()
+            _materialize(fn(spark, SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -117,9 +140,11 @@ def _make_spark(master: str):
 
 
 def main_default() -> None:
+    _pin_self()
     spark = _make_spark(f"local[{CPUS}]")
     queries = bench_queries(spark)
-    er = bench_er_pipeline(spark)
+    ers = [bench_er_pipeline(spark) for _ in range(BENCH_RUNS)]
+    er = min(ers, key=lambda e: e["er_pipeline_sec"])
     queries["er_pipeline"] = er["er_pipeline_sec"]
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -129,6 +154,8 @@ def main_default() -> None:
         "queries": queries,
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
+        "runs": BENCH_RUNS,
+        "pinned": bool(os.environ.get("WEBR_BENCH_PINNED")),
         "er_pages": er["er_pages"],
         "er_pages_per_sec": er["pages_per_sec"],
     }))

@@ -193,15 +193,17 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     cannot-link replay (webr.constraints) splits components that merged
     name-incompatible mentions through an initial-only bridge.
 
-    The replay is pay-per-use: a component whose members all carry ONE
-    exact (first, middle) signature can never veto a union
-    (``names_compatible`` is reflexive — empty/initial/full each match
-    themselves), so the constrained replay is the identity there and the
-    component keeps its CC representative directly. Only
-    name-HETEROGENEOUS components (>1 distinct signature) go through the
-    Python cogroup — on real corpora that is a small fraction, so the
-    clusters stage costs ~one extra groupBy instead of shipping every
-    member+edge through Arrow."""
+    The replay is pay-per-use: a union is only ever vetoed when the
+    merged cluster would contain an INCOMPATIBLE (first, middle) pair,
+    so a component whose distinct signatures are pairwise compatible
+    (the normal case: one author's full/initial variants) can never veto
+    anything — the replay is provably the identity there and the
+    component keeps its CC representative directly (rep = component min
+    on both paths, union-by-min). Only components containing at least
+    one incompatible signature pair go through the Python cogroup; the
+    predicate is evaluated JVM-side over the collect_set of distinct
+    signatures (a handful per entity-sized component, so the O(s^2)
+    exists-exists is trivial)."""
     # materialize the CC result once — it feeds the refine cogroup AND the
     # noise anti-join; without this the union-find ladder re-runs per
     # consumer.
@@ -210,20 +212,33 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True))
     members = comp.join(
         mentions.select("url", "first", "middle"), "url")
+
+    # SQL twin of textproc._part_compat: empty matches anything; initial
+    # vs anything shares the initial; full vs full must be equal
+    def _compat(a: str, b: str) -> str:
+        return (f"(coalesce({a}, '') = '' OR coalesce({b}, '') = '' OR "
+                f"IF(length({a}) > 1 AND length({b}) > 1, {a} = {b}, "
+                f"substring({a}, 1, 1) = substring({b}, 1, 1)))")
+
+    _incompat_pair = ("exists(sigs, x -> exists(sigs, y -> NOT ("
+                      + _compat("x.f", "y.f") + " AND "
+                      + _compat("x.m", "y.m") + ")))")
     stats = (members.groupBy("comp")
-             .agg(F.countDistinct(F.struct("first", "middle"))
-                  .alias("nsig"),
-                  F.count("*").alias("csize")))
+             .agg(F.collect_set(F.struct(
+                 F.col("first").alias("f"),
+                 F.col("middle").alias("m"))).alias("sigs"),
+                  F.count("*").alias("csize"))
+             .select("comp", "csize",
+                     F.expr(_incompat_pair).alias("needs_replay")))
     members = members.join(stats, "comp")
-    # homogeneous fast path: replay would union the whole component (no
-    # veto possible) and keep it iff its size >= MIN_PTS; rep is the
-    # component min, which IS the CC label (union-by-min both sides)
-    hom = (members.where((F.col("nsig") == 1)
+    # compatible fast path: replay would union the whole component (no
+    # veto possible) and keep it iff its size >= MIN_PTS
+    hom = (members.where(~F.col("needs_replay")
                          & (F.col("csize") >= spec.MIN_PTS))
            .select("url", F.col("comp").alias("rep")))
-    het = (members.where(F.col("nsig") > 1)
+    het = (members.where(F.col("needs_replay"))
            .select("comp", "url", "first", "middle"))
-    het_comps = stats.where(F.col("nsig") > 1).select(
+    het_comps = stats.where(F.col("needs_replay")).select(
         F.col("comp").alias("comp_e"))
     comp_edges = (edges.join(
         comp.select(F.col("url").alias("url_1"),
