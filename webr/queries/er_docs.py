@@ -205,6 +205,116 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
+# --- M5 analog: ablation feature importance over the spec'd scoring rule.
+# The reference prints the trained RF's feature_importances_
+# (train_rf.py:153-162); its model pickle is absent from the repo, so the
+# principled analog is ABLATION importance on the deterministic rule:
+# for each feature, how many accepted edges flip when that feature's
+# contribution is removed. All comparisons run on IEEE-identical doubles
+# (same literal weights, same left-to-right summation order in BOTH
+# engines) and every output is an exact integer count — hash-exact.
+
+_FI_W = {"jaccard": 0.40, "lev_sim": 0.25, "len_sim": 0.15,
+         "same_lang": 0.10, "same_source": 0.10}
+_FI_THR = 0.55
+
+
+def q_feature_importance(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf)
+    sides = d.select("doc_id", "tset",
+                     F.substring("text", 1, 30).alias("prefix"),
+                     "n_chars", "lang", "source")
+    p = (bounded_pair_ids(d)
+         .join(sides.select(F.col("doc_id").alias("doc_id_1"),
+                            F.col("tset").alias("tset_1"),
+                            F.col("prefix").alias("prefix_1"),
+                            F.col("n_chars").alias("n_chars_1"),
+                            F.col("lang").alias("lang_1"),
+                            F.col("source").alias("source_1")), "doc_id_1")
+         .join(sides.select(F.col("doc_id").alias("doc_id_2"),
+                            F.col("tset").alias("tset_2"),
+                            F.col("prefix").alias("prefix_2"),
+                            F.col("n_chars").alias("n_chars_2"),
+                            F.col("lang").alias("lang_2"),
+                            F.col("source").alias("source_2")), "doc_id_2"))
+    inter = F.size(F.array_intersect("tset_1", "tset_2"))
+    uni = F.size("tset_1") + F.size("tset_2") - inter
+    feats = {
+        "jaccard": inter.cast("double") / uni.cast("double"),
+        "lev_sim": F.lit(1.0) - F.levenshtein("prefix_1", "prefix_2")
+        .cast("double") / F.lit(30.0),
+        "len_sim": F.lit(1.0)
+        - F.abs(F.col("n_chars_1") - F.col("n_chars_2")).cast("double")
+        / F.greatest("n_chars_1", "n_chars_2", F.lit(1)).cast("double"),
+        "same_lang": F.when(F.col("lang_1") == F.col("lang_2"), 1.0)
+        .otherwise(0.0),
+        "same_source": F.when(F.col("source_1") == F.col("source_2"), 1.0)
+        .otherwise(0.0),
+    }
+    contribs = {k: F.lit(w) * feats[k] for k, w in _FI_W.items()}
+    raw = None
+    for k in _FI_W:  # fixed left-to-right fold, mirrored in the SQL
+        raw = contribs[k] if raw is None else raw + contribs[k]
+    scored = p.select(raw.alias("raw"),
+                      *[c.alias(f"c_{k}") for k, c in contribs.items()])
+    agg = scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("raw") >= _FI_THR).cast("long")).alias("n_edges"),
+        *[F.sum(((F.col("raw") - F.col(f"c_{k}")) >= _FI_THR)
+                .cast("long")).alias(f"wo_{k}") for k in _FI_W])
+    rows = F.array(*[
+        F.struct(F.lit(k).alias("feature"),
+                 F.col("n_pairs"), F.col("n_edges"),
+                 F.col(f"wo_{k}").alias("n_edges_ablated"),
+                 (F.col("n_edges") - F.col(f"wo_{k}")).alias("n_flipped"))
+        for k in _FI_W])
+    return (agg.select(F.explode(rows).alias("r")).select("r.*")
+            .orderBy("feature"))
+
+
+def _fi_duck_feats() -> dict[str, str]:
+    return {
+        "jaccard": ("len(list_intersect(a.tset, b.tset))::DOUBLE / "
+                    "(len(a.tset) + len(b.tset) "
+                    "- len(list_intersect(a.tset, b.tset)))::DOUBLE"),
+        "lev_sim": ("1.0 - levenshtein(a.prefix, b.prefix)::DOUBLE / 30.0"),
+        "len_sim": ("1.0 - abs(a.n_chars - b.n_chars)::DOUBLE / "
+                    "greatest(a.n_chars, b.n_chars, 1)::DOUBLE"),
+        "same_lang": "CASE WHEN a.lang = b.lang THEN 1.0 ELSE 0.0 END",
+        "same_source": ("CASE WHEN a.source = b.source THEN 1.0 "
+                        "ELSE 0.0 END"),
+    }
+
+
+def _sql_feature_importance() -> str:
+    fd = _fi_duck_feats()
+    contribs = {k: f"({_FI_W[k]} * ({fd[k]}))" for k in _FI_W}
+    raw = " + ".join(contribs[k] for k in _FI_W)
+    wo = ", ".join(
+        f"sum(CASE WHEN (raw - c_{k}) >= {_FI_THR} THEN 1 ELSE 0 END) "
+        f"AS wo_{k}" for k in _FI_W)
+    sel = ", ".join(f"{contribs[k]} AS c_{k}" for k in _FI_W)
+    unions = " UNION ALL ".join(
+        f"SELECT '{k}' AS feature, n_pairs, n_edges, "
+        f"CAST(wo_{k} AS BIGINT) AS n_edges_ablated, "
+        f"CAST(n_edges - wo_{k} AS BIGINT) AS n_flipped FROM g"
+        for k in _FI_W)
+    return f"""
+WITH d AS (SELECT doc_id, block_key, tset, substr(text,1,30) AS prefix,
+                  n_chars, lang, source FROM ({_DUCK_DOCS})),
+{duck_bounded_pairs("SELECT doc_id, block_key FROM d")},
+scored AS (
+  SELECT ({raw}) AS raw, {sel}
+  FROM cand c JOIN d a ON a.doc_id = c.doc_id_1
+              JOIN d b ON b.doc_id = c.doc_id_2),
+g AS (SELECT count(*) AS n_pairs,
+             CAST(sum(CASE WHEN raw >= {_FI_THR} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_edges, {wo}
+      FROM scored)
+SELECT * FROM ({unions}) ORDER BY feature
+"""
+
+
 # --- F2: Jaro-Winkler (python kernel vs duckdb builtin — same algorithm) -------
 
 def q_doc_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
@@ -593,4 +703,6 @@ QUERIES = {
     "blocking_metrics": (q_blocking_metrics, SQL_BLOCKING_METRICS),
     "train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "pr_curve": (q_pr_curve, SQL_PR_CURVE),
+    "feature_importance": (q_feature_importance,
+                           _sql_feature_importance()),
 }
