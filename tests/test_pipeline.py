@@ -220,3 +220,29 @@ def test_name_part_match_features(pipeline_out):
     assert len(bad_m) == 0
     # the corpus's initial-only variants must actually exercise 'initial'
     assert (ps.first_match == "initial").any()
+
+
+def test_time_pair_features(pipeline_out, oracle_result, corpus_pd):
+    """F10/F11 analogs: ts_day_diff (capped) and era_match ride the
+    pair_scores table, agree with the oracle exactly, and match a direct
+    recomputation from the corpus warc_ts values."""
+    from webr import spec
+    cols = ["url_1", "url_2", "ts_day_diff", "era_match"]
+    sp = (pipeline_out["pair_scores"].select(cols).toPandas()
+          .sort_values(["url_1", "url_2"]).reset_index(drop=True))
+    op = (oracle_result.pairs[cols]
+          .sort_values(["url_1", "url_2"]).reset_index(drop=True))
+    assert (sp.ts_day_diff.values == op.ts_day_diff.values).all()
+    assert (sp.era_match.values == op.era_match.values).all()
+    # direct recomputation from the pages table (independent arithmetic)
+    ts = dict(zip(corpus_pd.url, corpus_pd.warc_ts))
+    NS_DAY = 86_400_000_000_000
+    for r in sp.head(200).itertuples():
+        a, b = ts[r.url_1], ts[r.url_2]
+        want = min(spec.TS_DAY_DIFF_CAP,
+                   abs(a.value // NS_DAY - b.value // NS_DAY))
+        assert r.ts_day_diff == want
+        assert r.era_match == ((a.year // spec.TS_ERA_YEARS)
+                               == (b.year // spec.TS_ERA_YEARS))
+    # every corpus page carries warc_ts -> no missing markers
+    assert (sp.ts_day_diff >= 0).all()

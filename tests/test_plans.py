@@ -58,15 +58,16 @@ def test_idf_join_fallback_broadcasts(stage_frames):
 
 
 def test_mentions_scan_prunes_columns(spark, pages_df, tmp_path):
-    """build_mentions must read only url/html/text from a parquet pages
-    table — warc_ts/lang pruned at the scan."""
+    """build_mentions must read only url/html/text/warc_ts from a parquet
+    pages table — lang pruned at the scan (warc_ts is consumed since v8:
+    it feeds the F10/F11-analog pair features)."""
     from webr.engine import build_mentions
     p = str(tmp_path / "pages")
     pages_df.write.parquet(p)
     plan = _plan(build_mentions(spark.read.parquet(p)))
     scan = plan[plan.rindex("FileScan"):].splitlines()[0]
-    assert "url" in scan and "html" in scan
-    assert "warc_ts" not in scan and "lang" not in scan
+    assert "url" in scan and "html" in scan and "warc_ts" in scan
+    assert "lang" not in scan
 
 
 def test_pairs_small_blocks_equijoin(stage_frames):

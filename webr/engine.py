@@ -40,8 +40,10 @@ def build_mentions(pages: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield derive_mentions(pdf)
-    return pages.select("url", "html", "text").mapInPandas(
-        gen, schema=schema.MENTIONS)
+    cols = ["url", "html", "text"]
+    if "warc_ts" in pages.columns:  # crawl time feeds the F10/F11 analogs
+        cols.append("warc_ts")
+    return pages.select(*cols).mapInPandas(gen, schema=schema.MENTIONS)
 
 
 def build_idf(mentions: DataFrame, n_mentions: int) -> DataFrame:
@@ -94,8 +96,8 @@ def build_mention_feats(mentions: DataFrame, idf: DataFrame,
                    idf.select("token", "idf").collect()}
         bc = mentions.sparkSession.sparkContext.broadcast(idf_map)
         slim = mentions.select(
-            "url", "doc_id", "host", "first", "middle", "last", "name_norm",
-            "title_toks", "body_toks")
+            "url", "warc_ts", "doc_id", "host", "first", "middle", "last",
+            "name_norm", "title_toks", "body_toks")
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             d = bc.value
@@ -138,13 +140,13 @@ def _build_mention_feats_join(mentions: DataFrame,
                   F.expr("sqrt(aggregate(transform(tw, x -> x.wv), 0D, "
                          "(a, v) -> a + v * v))").alias("w_norm")))
     slim = mentions.select(
-        "url", "doc_id", "host", "first", "middle", "last", "name_norm",
-        "title_toks")
+        "url", "warc_ts", "doc_id", "host", "first", "middle", "last",
+        "name_norm", "title_toks")
     # shuffle_hash: sorting the fat weight-array rows for a sort-merge
     # join is pure overhead; scoped here, not session-wide
     out = (slim.join(arrays.hint("shuffle_hash"), "url", "left")
-           .select("url", "doc_id", "host", "first", "middle", "last",
-                   "name_norm", "title_toks",
+           .select("url", "warc_ts", "doc_id", "host", "first", "middle",
+                   "last", "name_norm", "title_toks",
                    F.coalesce("w_toks", F.array().cast("array<bigint>"))
                    .alias("w_toks"),
                    F.coalesce("w_vals", F.array().cast("array<double>"))

@@ -32,9 +32,21 @@ from webr.textproc import (
 
 FEATURE_COLUMNS = [
     "name_jw", "soundex_agree", "title_jac", "body_cos", "host_sim",
-    "first_match", "middle_match",
+    "first_match", "middle_match", "ts_day_diff", "era_match",
     "compat", "same_doc", "raw", "score", "is_edge",
 ]
+
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def _ts_day_era(ts) -> tuple[int, int] | None:
+    """(epoch-day, era bucket) of a crawl timestamp, or None when
+    missing. Everything funnels through pd.Timestamp so engine
+    (Arrow datetime64) and oracle (datetime/Timestamp) agree exactly."""
+    if ts is None or pd.isna(ts):
+        return None
+    t = ts if isinstance(ts, pd.Timestamp) else pd.Timestamp(ts)
+    return t.value // _NS_PER_DAY, t.year // spec.TS_ERA_YEARS
 
 
 _HASH_MEMO: dict[str, int] = {}
@@ -122,8 +134,9 @@ def _sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
 
 
-MEMBER_COLUMNS = ["url", "doc_id", "name_norm", "first", "middle", "last",
-                  "title_toks", "host", "w_toks", "w_vals", "w_norm"]
+MEMBER_COLUMNS = ["url", "warc_ts", "doc_id", "name_norm", "first",
+                  "middle", "last", "title_toks", "host",
+                  "w_toks", "w_vals", "w_norm"]
 
 
 def score_pairs_indexed(memb: dict, i1, i2) -> dict:
@@ -152,6 +165,9 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
     # score inputs (the score's compat gate subsumes them)
     first_match_l = [""] * n
     middle_match_l = [""] * n
+    # F10/F11 analogs on crawl time — observational like F7/F8
+    ts_diff_l = [-1] * n
+    era_match_l = [False] * n
 
     doc_id = memb["doc_id"]
     name_norm = memb["name_norm"]
@@ -162,6 +178,7 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
     w_norm = memb["w_norm"]
 
     # per-member precomputes (each amortizes over the pair degree)
+    day_era = [_ts_day_era(t) for t in memb["warc_ts"]]
     tsets = [set(t) for t in memb["title_toks"]]
     arrs = [(np.asarray(t, dtype=np.int64),
              np.asarray(v, dtype=np.float64))
@@ -216,6 +233,11 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
         compat_l[p] = compat
         first_match_l[p] = pm_of(first[a], first[b])
         middle_match_l[p] = pm_of(middle[a], middle[b])
+        de_a, de_b = day_era[a], day_era[b]
+        if de_a is not None and de_b is not None:
+            ts_diff_l[p] = min(spec.TS_DAY_DIFF_CAP,
+                               abs(de_a[0] - de_b[0]))
+            era_match_l[p] = de_a[1] == de_b[1]
         if same_doc or not compat:
             continue  # hard gates BEFORE expensive features (ref §4 row 3)
         jw = jw_of(name_norm[a], name_norm[b])
@@ -242,6 +264,8 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
 
     out["first_match"] = first_match_l
     out["middle_match"] = middle_match_l
+    out["ts_day_diff"] = ts_diff_l
+    out["era_match"] = era_match_l
     out["compat"] = compat_l
     out["same_doc"] = same_doc_l
     out["is_edge"] = edge_l

@@ -21,7 +21,7 @@ from webr.textproc import (
 )
 
 MENTION_COLUMNS = [
-    "url", "doc_id", "host", "text", "title", "name_raw",
+    "url", "warc_ts", "doc_id", "host", "text", "title", "name_raw",
     "first", "middle", "last", "name_norm",
     "title_toks", "body_toks", "block_keys", "parse_ok",
 ]
@@ -45,7 +45,8 @@ def block_keys_for(host: str, first: str, last: str,
     return keys
 
 
-def derive_mention_row(url: str, html, text: str | None) -> dict:
+def derive_mention_row(url: str, html, text: str | None,
+                       warc_ts=None) -> dict:
     txt = text if text else extract_text(html)
     title = extract_title(html)
     name_raw = extract_h1(html)
@@ -56,6 +57,7 @@ def derive_mention_row(url: str, html, text: str | None) -> dict:
     name_norm = " ".join(p for p in (first, middle, last) if p)
     return {
         "url": url,
+        "warc_ts": warc_ts,
         "doc_id": doc_id_of(url),
         "host": host,
         "text": txt,
@@ -74,10 +76,15 @@ def derive_mention_row(url: str, html, text: str | None) -> dict:
 
 
 def derive_mentions(pages: pd.DataFrame) -> pd.DataFrame:
-    """Vector entrypoint: pandas in / pandas out (Arrow batch shape)."""
+    """Vector entrypoint: pandas in / pandas out (Arrow batch shape).
+    ``warc_ts`` (crawl time) passes through when present — the F10/F11
+    analog pair features derive from it downstream."""
+    ts = (pages["warc_ts"] if "warc_ts" in pages.columns
+          else [None] * len(pages))
     rows = [
-        derive_mention_row(u, h, t)
-        for u, h, t in zip(pages["url"], pages["html"], pages["text"])
+        derive_mention_row(u, h, t, w)
+        for u, h, t, w in zip(pages["url"], pages["html"], pages["text"],
+                              ts)
     ]
     out = pd.DataFrame(rows, columns=MENTION_COLUMNS)
     return out

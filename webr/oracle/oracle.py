@@ -99,8 +99,9 @@ def attach_weight_arrays(mentions: pd.DataFrame, idf: dict) -> pd.DataFrame:
 
 
 def attach_sides(pairs: pd.DataFrame, mentions: pd.DataFrame) -> pd.DataFrame:
-    side_cols = ["url", "doc_id", "name_norm", "first", "middle", "last",
-                 "title_toks", "host", "w_toks", "w_vals", "w_norm"]
+    side_cols = ["url", "warc_ts", "doc_id", "name_norm", "first",
+                 "middle", "last", "title_toks", "host",
+                 "w_toks", "w_vals", "w_norm"]
     m = mentions[side_cols]
     p = pairs.merge(m.add_suffix("_1"), left_on="url_1", right_on="url_1")
     p = p.merge(m.add_suffix("_2"), left_on="url_2", right_on="url_2")

@@ -17,6 +17,7 @@ PAGES = StructType([
 
 MENTIONS = StructType([
     StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
     StructField("doc_id", StringType(), True),
     StructField("host", StringType(), True),
     StructField("text", StringType(), True),
@@ -42,6 +43,7 @@ IDF = StructType([
 # title tokens for Jaccard, precomputed sorted tf-idf arrays for cosine
 MENTION_FEATS = StructType([
     StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
     StructField("doc_id", StringType(), True),
     StructField("host", StringType(), True),
     StructField("first", StringType(), True),
@@ -75,6 +77,10 @@ PAIR_SCORES = StructType([
     StructField("host_sim", DoubleType(), True),
     StructField("first_match", StringType(), True),
     StructField("middle_match", StringType(), True),
+    # F10/F11 analogs on the graft's time axis (crawl time): capped
+    # |day diff| (-1 when either side lacks warc_ts) and same-era flag
+    StructField("ts_day_diff", LongType(), True),
+    StructField("era_match", BooleanType(), True),
     StructField("compat", BooleanType(), True),
     StructField("same_doc", BooleanType(), True),
     StructField("raw", DoubleType(), True),

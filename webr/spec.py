@@ -18,15 +18,23 @@ Anything here changes => goldens change; bump SCORING_VERSION.
 #     from modifier letters)
 # v6: cannot-link constraint replay after CC (webr.constraints) —
 #     clusters are all-pairs name-compatible; vetoed bridges -> noise
-SCORING_VERSION = "v7"  # v7: pair_scores carries F7/F8 categorical
-                        # first/middle match columns, AND two score-
-                        # arithmetic changes that can perturb body_cos on
-                        # affected pairs: sparse_cosine_sorted switched
-                        # from a sequential fold to np.sum (pairwise
-                        # summation) and weight_arrays now merges 60-bit
-                        # hash collisions into one entry. The bump
-                        # invalidates old checkpoints for BOTH reasons —
-                        # don't trust pre-v7 scores in parity debugging.
+# v7: pair_scores carries F7/F8 categorical first/middle match columns,
+#     AND two score-arithmetic changes that can perturb body_cos on
+#     affected pairs: sparse_cosine_sorted switched from a sequential
+#     fold to np.sum (pairwise summation) and weight_arrays now merges
+#     60-bit hash collisions into one entry. Don't trust pre-v7 scores
+#     in parity debugging.
+SCORING_VERSION = "v8"  # v8: mentions/mention_feats carry warc_ts and
+                        # pair_scores carries the F10/F11-analog
+                        # observational columns ts_day_diff (capped) +
+                        # era_match (scores unchanged — these are NOT
+                        # score inputs; bump invalidates old-schema
+                        # checkpoints)
+
+# F10/F11 analogs on crawl time (ref classifier/feature_vector.py:143-164
+# year-era bucket; feature_vector_bow.py:159-165 capped |year diff|)
+TS_ERA_YEARS = 5       # era bucket = year // TS_ERA_YEARS
+TS_DAY_DIFF_CAP = 365  # |day diff| capped; -1 = either side missing
 
 # clustering thresholds (ref author_disambiguation.py:16-17)
 EPS = 0.85          # edge iff score >= EPS
