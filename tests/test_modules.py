@@ -511,3 +511,29 @@ def test_classification_report_and_pr_curve(spark):
     assert list(curve.n_pred) == [10, 20]
     assert list(curve.n_tp) == [8, 9]
     assert curve.recall.iloc[-1] == 1.0  # lowest threshold recalls all
+
+
+def test_time_features_missing_ts_markers():
+    """A pair with a missing crawl timestamp gets ts_day_diff = -1 and
+    era_match = NULL (None) — never a fake 'different era' False."""
+    import pandas as pd
+
+    from webr.features import MEMBER_COLUMNS, score_pairs_indexed
+    base = {
+        "url": ["u0", "u1", "u2"],
+        "warc_ts": [pd.Timestamp("2021-03-01"), None,
+                    pd.Timestamp("2021-04-15")],
+        "doc_id": ["d0", "d1", "d2"],
+        "name_norm": ["ann lee", "ann lee", "ann lee"],
+        "first": ["ann"] * 3, "middle": [""] * 3, "last": ["lee"] * 3,
+        "title_toks": [["x"], ["x"], ["y"]],
+        "host": ["a.example"] * 3,
+        "w_toks": [[1], [1], [2]], "w_vals": [[1.0], [1.0], [1.0]],
+        "w_norm": [1.0, 1.0, 1.0],
+    }
+    assert set(base) == set(MEMBER_COLUMNS)
+    out = score_pairs_indexed(base, [0, 0], [1, 2])
+    # (u0, u1): u1 lacks warc_ts -> markers
+    assert out["ts_day_diff"][0] == -1 and out["era_match"][0] is None
+    # (u0, u2): both present -> real values (45 days apart, same era)
+    assert out["ts_day_diff"][1] == 45 and out["era_match"][1] is True

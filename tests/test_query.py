@@ -60,26 +60,30 @@ def test_query_eval_exact_counts(spark):
     no-match correctness)."""
     from webr.evalm import query_eval
     # q1: gold at rank 1; q2: gold at rank 3; q3: gold exists, absent
-    # from results (miss); q4: no gold, empty result (correct no-match);
-    # q5: no gold but a result came back (incorrect no-match)
+    # from results (miss, empty answer); q4: no gold, empty result
+    # (correct no-match); q5: no gold but a result came back (incorrect
+    # no-match); q6: gold exists but only WRONG clusters returned (miss
+    # with a non-empty answer — must count the same as q3)
     res = spark.createDataFrame(
         [("q1", 10, 1), ("q1", 11, 2),
          ("q2", 20, 1), ("q2", 21, 2), ("q2", 22, 3),
-         ("q5", 50, 1)],
+         ("q5", 50, 1), ("q6", 99, 1)],
         "q_url string, cluster_id long, rank long")
     gold = spark.createDataFrame(
-        [("q1", 10), ("q2", 22), ("q3", 30), ("q4", None), ("q5", None)],
+        [("q1", 10), ("q2", 22), ("q3", 30), ("q4", None), ("q5", None),
+         ("q6", 60)],
         "q_url string, cluster_id long")
     row = query_eval(res, gold, k=10).toPandas().iloc[0]
-    assert row.n_queries == 5 and row.n_with_gold == 3
-    assert row.acc_at_1 == round(1 / 3, 6)
-    assert row.acc_at_k == round(2 / 3, 6)
+    assert row.n_queries == 6 and row.n_with_gold == 4
+    assert row.acc_at_1 == round(1 / 4, 6)
+    assert row.acc_at_k == round(2 / 4, 6)
     assert row.avg_rank == 2.0          # gold ranks found: 1 and 3
-    assert row.n_missed == 1            # q3
+    assert row.n_missed == 2            # q3 (empty) + q6 (wrong clusters)
     assert row.no_match_correct == 0.5  # q4 yes, q5 no
-    # tighter k drops q2's rank-3 gold hit
+    # tighter k drops q2's rank-3 gold hit (q2 becomes a miss too)
     row2 = query_eval(res, gold, k=2).toPandas().iloc[0]
-    assert row2.acc_at_k == round(1 / 3, 6) and row2.avg_rank == 1.0
+    assert row2.acc_at_k == round(1 / 4, 6) and row2.avg_rank == 1.0
+    assert row2.n_missed == 3
 
 
 def test_query_eval_pipeline_perfect(spark, pipeline_out, corpus_pd):

@@ -107,17 +107,27 @@ class Warehouse:
         MERGE INTO and this facade keeps the call shape."""
         import pyspark.sql.functions as F
         cur = self.manifest(table)
-        # MERGE semantics need one row per key tuple in the incoming df —
+
+        # MERGE semantics need one row per key tuple — incoming
         # duplicates would all survive the anti-join and insert twice;
-        # fail loudly instead of silently corrupting the table
-        dup = (df.groupBy(keys).agg(F.count("*").alias("__n"))
-               .where(F.col("__n") > 1).limit(1).count())
-        if dup:
-            raise ValueError(
-                f"merge into {table!r}: incoming rows are not unique on "
-                f"key {keys} — dedupe deterministically before merging")
+        # fail loudly instead of silently corrupting the table. The check
+        # runs on the MATERIALIZED parquet (one cheap key-column scan),
+        # never on the incoming lazy plan, which would re-run the whole
+        # upstream computation a second time.
+        def _has_dup_keys(materialized: DataFrame) -> bool:
+            return bool(
+                materialized.groupBy(keys).agg(F.count("*").alias("__n"))
+                .where(F.col("__n") > 1).limit(1).count())
+
         if cur is None:
-            return self.write(table, df, snapshot, lineage)
+            out = self.write(table, df, snapshot, lineage)
+            if _has_dup_keys(out):
+                self.drop(table)
+                raise ValueError(
+                    f"merge into {table!r}: incoming rows are not unique "
+                    f"on key {keys} — dedupe deterministically before "
+                    f"merging")
+            return out
         existing = self.read(table)
         merged = (existing.join(df.select(keys).distinct(), keys,
                                 "left_anti")
@@ -129,6 +139,14 @@ class Warehouse:
         lin["parent"] = cur["snapshot"]
         lin["merge_keys"] = keys
         self.write(tmp, merged, snapshot, lin)
+        # existing is key-unique by induction (every write/merge through
+        # this facade is checked), so duplicate keys in the staged result
+        # can only come from duplicated incoming rows
+        if _has_dup_keys(self.read(tmp)):
+            self.drop(tmp)
+            raise ValueError(
+                f"merge into {table!r}: incoming rows are not unique on "
+                f"key {keys} — dedupe deterministically before merging")
         # fix the staged manifest's table name BEFORE the swap, so the
         # final state lands in ONE rename of a fully-consistent dir
         man = self.manifest(tmp)

@@ -56,7 +56,8 @@ def query_eval(results: DataFrame, gold: DataFrame,
 
     One row: n_queries / n_with_gold, accuracy@1, accuracy@k, average
     rank of the gold cluster where found, misses (gold exists but absent
-    from top-k), and the no-match queries answered correctly with an
+    from the top-k — whether the query returned nothing or only wrong
+    clusters), and the no-match queries answered correctly with an
     empty result. Distributed shape: one join on q_url + two bounded
     aggregations — the curve never rescans the result table per metric.
     All ratios divide exact integer counts (round 6)."""
@@ -75,7 +76,7 @@ def query_eval(results: DataFrame, gold: DataFrame,
         F.sum((F.col("gold_rank") == 1).cast("long")).alias("n_acc1"),
         F.sum(F.col("gold_rank").isNotNull().cast("long")).alias("n_acck"),
         F.sum(F.coalesce("gold_rank", F.lit(0))).alias("rank_sum"),
-        F.sum((has_gold & (F.col("n_returned") == 0)).cast("long"))
+        F.sum((has_gold & F.col("gold_rank").isNull()).cast("long"))
         .alias("n_missed"),
         F.sum((~has_gold).cast("long")).alias("n_no_gold"),
         F.sum((~has_gold & (F.col("n_returned") == 0)).cast("long"))

@@ -165,9 +165,12 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
     # score inputs (the score's compat gate subsumes them)
     first_match_l = [""] * n
     middle_match_l = [""] * n
-    # F10/F11 analogs on crawl time — observational like F7/F8
+    # F10/F11 analogs on crawl time — observational like F7/F8.
+    # ts_day_diff keeps -1 as its missing marker (documented, non-null
+    # long); era_match is nullable, so missing-timestamp pairs stay NULL
+    # instead of masquerading as a genuine era mismatch
     ts_diff_l = [-1] * n
-    era_match_l = [False] * n
+    era_match_l: list = [None] * n
 
     doc_id = memb["doc_id"]
     name_norm = memb["name_norm"]

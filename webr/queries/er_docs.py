@@ -74,6 +74,20 @@ def bounded_pair_ids(d: DataFrame, key: str = "block_key",
     return pairs_small.unionByName(pairs_big)
 
 
+def attach_pair_sides(d: DataFrame, cols: list[str]) -> DataFrame:
+    """bounded_pair_ids(d) with ``cols`` joined back per side (_1/_2
+    suffixes) — the shared sides-attach scaffolding of every doc-pair
+    feature query (ids ride the self-join; the payload joins back once
+    per side)."""
+    sides = d.select("doc_id", *cols)
+    p = bounded_pair_ids(d)
+    for s in (1, 2):
+        p = p.join(sides.select(
+            F.col("doc_id").alias(f"doc_id_{s}"),
+            *[F.col(c).alias(f"{c}_{s}") for c in cols]), f"doc_id_{s}")
+    return p
+
+
 def duck_bounded_pairs(docs_sql: str, key: str = "block_key",
                        id_col: str = "doc_id",
                        cap: int = _PAIR_CAP,
@@ -166,18 +180,9 @@ FROM cand GROUP BY block_key ORDER BY block_key
 def q_doc_pair_features(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-arithmetic Jaccard (set sizes) + builtin levenshtein on
     30-char prefixes: exact cross-engine parity, no float summation."""
-    d = _docs_with_tokens(spark, sf)
-    sides = d.select("doc_id", "tset",
-                     F.substring("text", 1, 30).alias("prefix"), "n_chars")
-    p = (bounded_pair_ids(d)
-         .join(sides.select(F.col("doc_id").alias("doc_id_1"),
-                            F.col("tset").alias("tset_1"),
-                            F.col("prefix").alias("prefix_1"),
-                            F.col("n_chars").alias("n_chars_1")), "doc_id_1")
-         .join(sides.select(F.col("doc_id").alias("doc_id_2"),
-                            F.col("tset").alias("tset_2"),
-                            F.col("prefix").alias("prefix_2"),
-                            F.col("n_chars").alias("n_chars_2")), "doc_id_2"))
+    d = (_docs_with_tokens(spark, sf)
+         .withColumn("prefix", F.substring("text", 1, 30)))
+    p = attach_pair_sides(d, ["tset", "prefix", "n_chars"])
     inter = F.size(F.array_intersect("tset_1", "tset_2"))
     uni = (F.size("tset_1") + F.size("tset_2") - inter)
     return (p.select("doc_id_1", "doc_id_2",
@@ -220,23 +225,10 @@ _FI_THR = 0.55
 
 
 def q_feature_importance(spark: SparkSession, sf: str) -> DataFrame:
-    d = _docs_with_tokens(spark, sf)
-    sides = d.select("doc_id", "tset",
-                     F.substring("text", 1, 30).alias("prefix"),
-                     "n_chars", "lang", "source")
-    p = (bounded_pair_ids(d)
-         .join(sides.select(F.col("doc_id").alias("doc_id_1"),
-                            F.col("tset").alias("tset_1"),
-                            F.col("prefix").alias("prefix_1"),
-                            F.col("n_chars").alias("n_chars_1"),
-                            F.col("lang").alias("lang_1"),
-                            F.col("source").alias("source_1")), "doc_id_1")
-         .join(sides.select(F.col("doc_id").alias("doc_id_2"),
-                            F.col("tset").alias("tset_2"),
-                            F.col("prefix").alias("prefix_2"),
-                            F.col("n_chars").alias("n_chars_2"),
-                            F.col("lang").alias("lang_2"),
-                            F.col("source").alias("source_2")), "doc_id_2"))
+    d = (_docs_with_tokens(spark, sf)
+         .withColumn("prefix", F.substring("text", 1, 30)))
+    p = attach_pair_sides(d, ["tset", "prefix", "n_chars",
+                              "lang", "source"])
     inter = F.size(F.array_intersect("tset_1", "tset_2"))
     uni = F.size("tset_1") + F.size("tset_2") - inter
     feats = {

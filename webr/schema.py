@@ -79,6 +79,7 @@ PAIR_SCORES = StructType([
     StructField("middle_match", StringType(), True),
     # F10/F11 analogs on the graft's time axis (crawl time): capped
     # |day diff| (-1 when either side lacks warc_ts) and same-era flag
+    # (NULL, not false, when either side lacks warc_ts)
     StructField("ts_day_diff", LongType(), True),
     StructField("era_match", BooleanType(), True),
     StructField("compat", BooleanType(), True),
