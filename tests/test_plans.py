@@ -3,7 +3,7 @@
 These assert the *shape* of the plans Catalyst produces — the properties
 that decide whether the job survives a 100 TB input — without executing
 anything: no cartesian products, the cogroup pair-scorer lowers to
-FlatMapCoGroupsInPandas (not a join), the huge-vocab idf attach
+FlatMapCoGroupsInArrow (not a join), the huge-vocab idf attach
 broadcasts the idf side, and parquet scans prune columns.
 """
 
@@ -46,7 +46,8 @@ def test_pair_scoring_is_cogroup_not_join(stage_frames):
     a plan that joins mention_feats onto pairs per side, the fat-array
     payload re-amplifies by the pair degree."""
     plan = _plan(stage_frames["scores"])
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert ("FlatMapCoGroupsInArrow" in plan
+            or "FlatMapCoGroupsInPandas" in plan)
 
 
 def test_idf_join_fallback_broadcasts(stage_frames):

@@ -32,6 +32,12 @@ from webr.mentions import derive_mentions
 
 SIDE_COLS = [f.name for f in schema.MENTION_FEATS.fields if f.name != "url"]
 
+# Arrow twin of schema.PAIR_SCORES for the applyInArrow pair-scoring
+# path — derived via Spark's own converter so the two can never drift.
+from pyspark.sql.pandas.types import to_arrow_schema  # noqa: E402
+
+_PAIR_ARROW = to_arrow_schema(schema.PAIR_SCORES)
+
 
 # --------------------------------------------------------------------------
 # stage builders (each returns a lazily-planned DataFrame)
@@ -262,32 +268,59 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
     # see webr/session.py note)
     side = urls.join(mention_feats.hint("shuffle_hash"), "url")
 
-    def score_group(pairs_pdf: pd.DataFrame,
-                    memb_pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_group(pairs_tbl, memb_tbl):
+        # Arrow-native marshalling (applyInArrow): the kernel's math is
+        # untouched — only the batch conversion changes. The fat
+        # w_toks/w_vals list columns become zero-copy numpy slices over
+        # the Arrow buffers instead of one Python list object per cell
+        # (the applyInPandas conversion built ~#members × avg_len × 2
+        # boxed objects per batch, which dominated the stage, not the
+        # scoring itself).
+        import numpy as np
+        import pyarrow as pa
+
         from webr.features import (
             FEATURE_COLUMNS, MEMBER_COLUMNS, score_pairs_indexed,
         )
-        idx = pd.Index(memb_pdf["url"])
-        i1 = idx.get_indexer(pairs_pdf["url_1"])
-        i2 = idx.get_indexer(pairs_pdf["url_2"])
-        # get_indexer returns -1 for a url missing from the membership
-        # frame, which would silently attach the LAST member's features
-        # to that pair; membership derives from this same pairs frame so
-        # it cannot happen today — keep it that way loudly
-        if (i1 < 0).any() or (i2 < 0).any():
-            raise ValueError("pair url missing from group membership")
-        # member-indexed kernel: the 43-column sided frame is never
-        # materialized; fat arrays are touched once per member
-        memb = {c: memb_pdf[c].tolist() for c in MEMBER_COLUMNS}
-        out = score_pairs_indexed(memb, i1.tolist(), i2.tolist())
-        res = pairs_pdf[["url_1", "url_2", "block_key"]].copy()
+
+        def list_col_views(name: str, np_dtype) -> list:
+            arr = memb_tbl.column(name).combine_chunks()
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(
+                np_dtype, copy=False)
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            return [flat[offs[i]:offs[i + 1]] for i in range(len(arr))]
+
+        memb = {}
+        for c in MEMBER_COLUMNS:
+            if c == "w_toks":
+                memb[c] = list_col_views(c, np.int64)
+            elif c == "w_vals":
+                memb[c] = list_col_views(c, np.float64)
+            else:
+                # scalar + title_toks columns are member-sized (~1/25 of
+                # the pair count) — plain conversion is cheap
+                memb[c] = memb_tbl.column(c).to_pylist()
+        pos = {u: i for i, u in enumerate(memb[
+            "url"])}
+        try:
+            i1 = [pos[u] for u in pairs_tbl.column("url_1").to_pylist()]
+            i2 = [pos[u] for u in pairs_tbl.column("url_2").to_pylist()]
+        except KeyError as e:  # membership derives from this same pairs
+            # frame so it cannot happen today — keep it that way loudly
+            raise ValueError(
+                f"pair url missing from group membership: {e}") from e
+        out = score_pairs_indexed(memb, i1, i2)
+        cols = {"url_1": pairs_tbl.column("url_1"),
+                "url_2": pairs_tbl.column("url_2"),
+                "block_key": pairs_tbl.column("block_key")}
         for c in FEATURE_COLUMNS:
-            res[c] = out[c]
-        return res[names]
+            cols[c] = pa.array(out[c], type=_PAIR_ARROW.field(c).type)
+        return pa.table(
+            {n: cols[n] for n in names}).cast(_PAIR_ARROW)
 
     return (p.groupby("gk")
             .cogroup(side.groupby("gk"))
-            .applyInPandas(score_group, schema=schema.PAIR_SCORES))
+            .applyInArrow(score_group, schema=schema.PAIR_SCORES))
 
 
 def build_entities(mentions: DataFrame, idf: DataFrame,
