@@ -37,7 +37,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame, Row, Window
 
 from webr import spec
 
@@ -140,9 +140,17 @@ def connected_components(edges: DataFrame, fanin: int = 8,
     out = (edges.mapInPandas(_forest_map, out_schema)
            .localCheckpoint(eager=True))
     while n > 1:
-        n = max(1, n // fanin)
-        if n == 1 and out.count() > final_rows_max:
-            return _resolve(out)
+        # the residual forest shrinks fast (one row per vertex per
+        # surviving partition); as soon as it fits the single-task
+        # budget, one final pass resolves it — intermediate fanin rungs
+        # would only add checkpoint round-trips. count() is cheap: out
+        # is always an eager localCheckpoint.
+        if out.count() <= final_rows_max:
+            n = 1
+        else:
+            n = max(1, n // fanin)
+            if n == 1:
+                return _resolve(out)
         out = (out.coalesce(n).mapInPandas(_forest_map, out_schema)
                .localCheckpoint(eager=True))
     return out
@@ -210,8 +218,6 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     comp = (connected_components(edges)
             .withColumnRenamed("rep", "comp")
             .localCheckpoint(eager=True))
-    members = comp.join(
-        mentions.select("url", "first", "middle"), "url")
 
     # SQL twin of textproc._part_compat: empty matches anything; initial
     # vs anything shares the initial; full vs full must be equal
@@ -223,14 +229,18 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
     _incompat_pair = ("exists(sigs, x -> exists(sigs, y -> NOT ("
                       + _compat("x.f", "y.f") + " AND "
                       + _compat("x.m", "y.m") + ")))")
-    stats = (members.groupBy("comp")
-             .agg(F.collect_set(F.struct(
-                 F.col("first").alias("f"),
-                 F.col("middle").alias("m"))).alias("sigs"),
-                  F.count("*").alias("csize"))
-             .select("comp", "csize",
-                     F.expr(_incompat_pair).alias("needs_replay")))
-    members = members.join(stats, "comp")
+    # per-component signature stats via a window over comp: one shuffle
+    # of the member table, no aggregate-then-join-back round trip (the
+    # stats side is one row per component — at web scale that is itself
+    # a huge table, so a broadcast was never an option)
+    w = Window.partitionBy("comp")
+    members = (comp.join(mentions.select("url", "first", "middle"), "url")
+               .withColumn("sigs", F.collect_set(F.struct(
+                   F.col("first").alias("f"),
+                   F.col("middle").alias("m"))).over(w))
+               .withColumn("csize", F.count("*").over(w))
+               .withColumn("needs_replay", F.expr(_incompat_pair))
+               .drop("sigs"))
     # compatible fast path: replay would union the whole component (no
     # veto possible) and keep it iff its size >= MIN_PTS
     hom = (members.where(~F.col("needs_replay")
@@ -238,8 +248,7 @@ def label_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
            .select("url", F.col("comp").alias("rep")))
     het = (members.where(F.col("needs_replay"))
            .select("comp", "url", "first", "middle"))
-    het_comps = stats.where(F.col("needs_replay")).select(
-        F.col("comp").alias("comp_e"))
+    het_comps = (het.select(F.col("comp").alias("comp_e")).distinct())
     comp_edges = (edges.join(
         comp.select(F.col("url").alias("url_1"),
                     F.col("comp").alias("comp_e")), "url_1")
