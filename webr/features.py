@@ -109,18 +109,27 @@ def sparse_cosine_sorted(t1, v1, n1: float, t2, v2, n2: float) -> float:
     scores stay bit-identical across them."""
     if n1 == 0.0 or n2 == 0.0:
         return 0.0
-    a1 = np.asarray(t1, dtype=np.int64)
-    a2 = np.asarray(t2, dtype=np.int64)
+    a1 = t1 if isinstance(t1, np.ndarray) else np.asarray(t1, np.int64)
+    a2 = t2 if isinstance(t2, np.ndarray) else np.asarray(t2, np.int64)
     if len(a1) == 0 or len(a2) == 0:
         return 0.0
-    idx = np.searchsorted(a1, a2)
+    # probe the SMALLER side into the larger: cost min·log(max) instead of
+    # len(t2)·log(len(t1)). Bitwise-neutral: the intersection is
+    # enumerated in ascending token-id order either way (both inputs are
+    # sorted), and the elementwise multiply commutes exactly.
+    if len(a2) > len(a1):
+        a1, a2 = a2, a1
+        v1, v2 = v2, v1
+    idx = a1.searchsorted(a2)
     idx[idx == len(a1)] = 0  # out-of-range probes -> mask kills them
     mask = a1[idx] == a2
     if not mask.any():
         return 0.0
-    prods = (np.asarray(v1, dtype=np.float64)[idx[mask]]
-             * np.asarray(v2, dtype=np.float64)[mask])
-    return float(np.sum(prods)) / (n1 * n2)
+    w1 = v1 if isinstance(v1, np.ndarray) else np.asarray(v1, np.float64)
+    w2 = v2 if isinstance(v2, np.ndarray) else np.asarray(v2, np.float64)
+    # .sum() IS np.sum (same pairwise reduction) minus the dispatch shim
+    prods = w1[idx[mask]] * w2[mask]
+    return float(prods.sum()) / (n1 * n2)
 
 
 def host_similarity(ha: str, hb: str) -> float:
@@ -226,13 +235,26 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
             v = pm_memo[k] = name_part_match(k[0], k[1])
         return v
 
+    # (first, middle) signatures repeat across a block's pairs just like
+    # names/hosts do, and names_compatible is symmetric under side swap —
+    # same memo trick as jw_of/pm_of
+    sig = list(zip(first, middle))
+    nc_memo: dict = {}
+
+    def nc_of(sa: tuple, sb: tuple) -> bool:
+        k = (sa, sb) if sa <= sb else (sb, sa)
+        v = nc_memo.get(k)
+        if v is None:
+            v = nc_memo[k] = names_compatible(
+                k[0][0], k[0][1], k[1][0], k[1][1])
+        return v
+
     for p in range(n):
         a = i1[p]
         b = i2[p]
         same_doc = doc_id[a] == doc_id[b]
         same_doc_l[p] = same_doc
-        compat = (last[a] == last[b]) and names_compatible(
-            first[a], middle[a], first[b], middle[b])
+        compat = (last[a] == last[b]) and nc_of(sig[a], sig[b])
         compat_l[p] = compat
         first_match_l[p] = pm_of(first[a], first[b])
         middle_match_l[p] = pm_of(middle[a], middle[b])
