@@ -181,3 +181,41 @@ def test_constrained_components_invariants(g):
         for v in urls:
             if rep[u] == rep[v]:
                 assert find(u) == find(v)
+
+
+# sorted unique int64 id array + matching positive weights, as produced
+# by weight_arrays
+_IDS = st.lists(st.integers(min_value=0, max_value=1 << 59),
+                max_size=40, unique=True).map(sorted)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_IDS, _IDS, st.randoms(use_true_random=False))
+def test_sparse_cosine_probe_side_invariant(t1, t2, rnd):
+    """The kernel probes the SMALLER array into the larger (perf); the
+    result must be bitwise-identical both to the side-swapped call and
+    to a straight dict-intersection np.sum reference — i.e. the
+    optimization never perturbs a single ULP."""
+    import numpy as np
+
+    from webr.features import sparse_cosine_sorted
+
+    v1 = [rnd.uniform(0.1, 5.0) for _ in t1]
+    v2 = [rnd.uniform(0.1, 5.0) for _ in t2]
+    a1, a2 = np.asarray(t1, np.int64), np.asarray(t2, np.int64)
+    w1, w2 = np.asarray(v1, np.float64), np.asarray(v2, np.float64)
+    n1 = float(np.sqrt(np.sum(w1 * w1))) if len(w1) else 0.0
+    n2 = float(np.sqrt(np.sum(w2 * w2))) if len(w2) else 0.0
+
+    got = sparse_cosine_sorted(a1, w1, n1, a2, w2, n2)
+    swapped = sparse_cosine_sorted(a2, w2, n2, a1, w1, n1)
+    assert got == swapped  # bitwise, not approx
+
+    if n1 == 0.0 or n2 == 0.0:
+        assert got == 0.0
+        return
+    m2 = dict(zip(t2, v2))
+    prods = np.asarray([v * m2[t] for t, v in zip(t1, v1) if t in m2],
+                       np.float64)
+    ref = float(np.sum(prods)) / (n1 * n2) if len(prods) else 0.0
+    assert got == ref  # same ascending-id order, same pairwise np.sum
