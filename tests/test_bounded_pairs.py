@@ -179,3 +179,52 @@ def test_null_block_keys_pair_with_nothing(spark):
         assert int(got.n_pairs.sum()) == 4 * 3 // 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def lines_sf_dir():
+    """documents.parquet planted for dedup_lines: docs 0 and 1 share one
+    exact 10-token chunk (0 is the keeper), doc 2 shares nothing, doc 3
+    is a full copy of doc 0 (every chunk dropped)."""
+    d = tempfile.mkdtemp(prefix="webr_lines_")
+    shared = " ".join(f"tok{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    rows = [
+        {"doc_id": 0, "text": shared + " " + uniq("a"), "lang": "en",
+         "source": "s", "n_chars": 1},
+        {"doc_id": 1, "text": shared + " " + uniq("b"), "lang": "en",
+         "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": uniq("c") + " " + uniq("d"), "lang": "en",
+         "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": shared + " " + uniq("a"), "lang": "en",
+         "source": "s", "n_chars": 1},
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_lines_keeper_and_counts(spark, lines_sf_dir):
+    """C4-style line dedup: the minimum doc keeps a duplicated chunk,
+    every other occurrence drops; untouched docs don't appear; a doc
+    whose every chunk is owned elsewhere drops to the empty text."""
+    import hashlib
+
+    from webr.queries.dataops import SQL_DEDUP_LINES, q_dedup_lines
+
+    got = (q_dedup_lines(spark, lines_sf_dir).toPandas()
+           .set_index("doc_id"))
+    # doc 0 is keeper of both its chunks (min doc_id) -> not in output;
+    # doc 2 shares nothing -> not in output
+    assert sorted(got.index) == [1, 3]
+    assert got.loc[1, "n_chunks"] == 2 and got.loc[1, "n_dropped"] == 1
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    assert got.loc[1, "clean_fp"] == hashlib.md5(
+        uniq_b.encode()).hexdigest()
+    # doc 3 duplicates doc 0 entirely -> all chunks dropped, empty text
+    assert got.loc[3, "n_chunks"] == 2 and got.loc[3, "n_dropped"] == 2
+    assert got.loc[3, "clean_fp"] == hashlib.md5(b"").hexdigest()
+    # DuckDB oracle matches exactly
+    want = _duck(lines_sf_dir, SQL_DEDUP_LINES)
+    pd.testing.assert_frame_equal(
+        _canon(got.reset_index()), _canon(want))

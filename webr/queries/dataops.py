@@ -579,6 +579,78 @@ FROM d ORDER BY doc_id
 """
 
 
+_LINE_W = 10  # tokens per pseudo-line (the corpus carries no newlines)
+
+
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-level line dedup (Raffel et al. 2020 §2.2,
+    public): drop every line whose exact text occurs in >= 2 distinct
+    documents, keeping only the occurrence in the smallest doc_id, and
+    fingerprint the reconstructed text. The synthetic corpus has no
+    newlines, so a "line" is a fixed non-overlapping window of
+    ``_LINE_W`` tokens — same operator shape, deterministic analog.
+
+    Scale shape (100 TB): one explode (narrow), one groupBy on the
+    chunk text (map-side combined count/min — a boilerplate chunk seen
+    in 10^8 docs still reduces to one row), one join back on chunk
+    (AQE skew-join splits hot boilerplate keys), one groupBy doc_id.
+    No unbounded cell: output carries counts + an md5 of the cleaned
+    text, never the text list itself."""
+    d = (read(spark, sf, "documents")
+         .withColumn("tk", F.split(F.lower("text"), " "))
+         .where(F.size("tk") >= 1))
+    chunks = (d.select(
+        "doc_id", "tk",
+        F.explode(F.expr(
+            f"sequence(0, cast(ceil(size(tk) / {_LINE_W}.0) as int) - 1)"
+        )).alias("i"))
+        .select("doc_id", "i", F.expr(
+            f"array_join(slice(tk, i * {_LINE_W} + 1, {_LINE_W}), ' ')")
+            .alias("chunk")))
+    # distinct-then-count instead of countDistinct: the pre-aggregation
+    # dedupes (chunk, doc_id) map-side, so a boilerplate chunk repeated
+    # millions of times inside hot docs never inflates the shuffle the
+    # way the expand-based COUNT(DISTINCT) plan would
+    stats = (chunks.select("chunk", "doc_id").distinct()
+             .groupBy("chunk")
+             .agg(F.count("*").alias("n_docs"),
+                  F.min("doc_id").alias("keeper")))
+    keyed = (chunks.join(stats, "chunk")
+             .withColumn("keep", (F.col("n_docs") < 2)
+                         | (F.col("doc_id") == F.col("keeper"))))
+    return (keyed.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_dropped"),
+                 F.expr("md5(array_join(transform(array_sort("
+                        "collect_list(case when keep then struct(i, chunk) "
+                        "end)), x -> x.chunk), ' '))").alias("clean_fp"))
+            .where(F.col("n_dropped") > 0)
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_LINES = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+           FROM documents),
+c AS (SELECT doc_id, (i - 1) // {_LINE_W} AS i,
+             array_to_string(tk[i:i+{_LINE_W - 1}], ' ') AS chunk
+      FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1, {_LINE_W}))
+                       AS i) r),
+g AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS keeper
+      FROM c GROUP BY chunk),
+k AS (SELECT c.doc_id, c.i, c.chunk,
+             (g.n_docs < 2 OR c.doc_id = g.keeper) AS keep
+      FROM c JOIN g USING (chunk))
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN keep THEN chunk END,
+                               ' ' ORDER BY i), '')) AS clean_fp
+FROM k GROUP BY doc_id HAVING n_dropped > 0 ORDER BY doc_id
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus statistics: doc counts, exact char-length
     min/median/max (discrete percentile — exact on both engines, unlike
@@ -867,6 +939,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
