@@ -302,9 +302,21 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
                 memb[c] = memb_tbl.column(c).to_pylist()
         pos = {u: i for i, u in enumerate(memb[
             "url"])}
+
+        def pair_index(col_name: str) -> list:
+            # dictionary-encode first: each url repeats ~pair-degree
+            # times (~25x), so the Python dict lookup and string
+            # materialization happen once per DISTINCT url and the
+            # per-pair fan-out is one C-level numpy take
+            enc = pairs_tbl.column(col_name).combine_chunks() \
+                .dictionary_encode()
+            lut = np.asarray([pos[u] for u in enc.dictionary.to_pylist()],
+                             dtype=np.int64)
+            return lut[enc.indices.to_numpy(zero_copy_only=False)].tolist()
+
         try:
-            i1 = [pos[u] for u in pairs_tbl.column("url_1").to_pylist()]
-            i2 = [pos[u] for u in pairs_tbl.column("url_2").to_pylist()]
+            i1 = pair_index("url_1")
+            i2 = pair_index("url_2")
         except KeyError as e:  # membership derives from this same pairs
             # frame so it cannot happen today — keep it that way loudly
             raise ValueError(
