@@ -228,3 +228,43 @@ def test_dedup_lines_keeper_and_counts(spark, lines_sf_dir):
     want = _duck(lines_sf_dir, SQL_DEDUP_LINES)
     pd.testing.assert_frame_equal(
         _canon(got.reset_index()), _canon(want))
+
+
+def test_pii_scan_planted_signals(spark):
+    """The driver corpus carries no PII-shaped tokens (the oracle row is
+    all-zeros there), so the operator's arithmetic is proven on planted
+    data: exact email/url token counts, digit ratio, flag — and the
+    DuckDB mirror must agree cell-for-cell."""
+    from webr.queries.dataops import SQL_PII_SCAN, q_pii_scan
+
+    d = tempfile.mkdtemp(prefix="webr_pii_")
+    try:
+        rows = [
+            {"doc_id": 0,
+             "text": "contact bob@example.com or https://a.io now",
+             "lang": "en", "source": "s", "n_chars": 1},
+            {"doc_id": 1, "text": "no signals at all here",
+             "lang": "en", "source": "s", "n_chars": 1},
+            {"doc_id": 2, "text": "call 555 1234 x99",
+             "lang": "en", "source": "s", "n_chars": 1},
+            {"doc_id": 3, "text": "bare @ and trailing. http ok httpx",
+             "lang": "en", "source": "s", "n_chars": 1},
+        ]
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        got = q_pii_scan(spark, d).toPandas().set_index("doc_id")
+        assert got.loc[0, "email_toks"] == 1      # bob@example.com
+        assert got.loc[0, "url_toks"] == 1        # https://a.io
+        assert bool(got.loc[0, "flagged"])
+        assert got.loc[1, "email_toks"] == 0 and not got.loc[1, "flagged"]
+        # '555', '1234', 'x99' -> 9 digit chars of len('call 555 1234 x99')
+        assert got.loc[2, "digit_ratio"] == round(9 / 17, 6)
+        # '@' token has no '.', 'http'/'httpx' DO prefix-match (by
+        # design: prefix heuristic), 'trailing.' is not an email
+        assert got.loc[3, "email_toks"] == 0
+        assert got.loc[3, "url_toks"] == 2
+        want = _duck(d, SQL_PII_SCAN)
+        pd.testing.assert_frame_equal(
+            _canon(got.reset_index()), _canon(want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

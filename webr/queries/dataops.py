@@ -535,6 +535,52 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-signal scan — the standard privacy-filter stage of web
+    pipelines (CCNet / RefinedWeb / Dolma all ship one, public): per-doc
+    counts of email-shaped and url-shaped RAW tokens (whitespace split —
+    normalization would strip the very punctuation that signals PII)
+    plus the digit-character ratio, and a flag row filters key on.
+    Regex-free on purpose: Spark and DuckDB regex dialects differ, so
+    the predicates are contains/substring/translate arithmetic that is
+    exact on both engines. Pure JVM exprs — one narrow scan, no
+    shuffle except the output sort."""
+    d = (read(spark, sf, "documents")
+         .withColumn("raw", F.split("text", " ")))
+    email = F.size(F.expr(
+        "filter(raw, x -> contains(x, '@') AND contains(x, '.'))"))
+    url = F.size(F.expr(
+        "filter(raw, x -> substring(x, 1, 4) = 'http')"))
+    digits = (F.length("text")
+              - F.length(F.translate("text", "0123456789", "")))
+    return (d.select(
+        "doc_id",
+        email.alias("email_toks"),
+        url.alias("url_toks"),
+        F.round(digits / F.greatest(F.length("text"), F.lit(1)), 6)
+        .alias("digit_ratio"),
+        ((email > 0) | (url > 0)).alias("flagged"))
+        .orderBy("doc_id"))
+
+
+SQL_PII_SCAN = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS raw
+           FROM documents)
+SELECT doc_id,
+       len(list_filter(raw, x -> contains(x, '@')
+                                 AND contains(x, '.'))) AS email_toks,
+       len(list_filter(raw, x -> substring(x, 1, 4) = 'http'))
+       AS url_toks,
+       round((length(text) - length(translate(text, '0123456789', '')))
+             ::DOUBLE / greatest(length(text), 1), 6) AS digit_ratio,
+       (len(list_filter(raw, x -> contains(x, '@')
+                                  AND contains(x, '.'))) > 0
+        OR len(list_filter(raw, x -> substring(x, 1, 4) = 'http')) > 0)
+       AS flagged
+FROM t ORDER BY doc_id
+"""
+
+
 def q_quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, public):
     fraction of tokens covered by the most frequent token, and the
@@ -945,6 +991,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "pii_scan": (q_pii_scan, SQL_PII_SCAN),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
