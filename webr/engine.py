@@ -465,10 +465,18 @@ class Pipeline:
         pairs = wh.stage("pairs", s_p, lambda: build_pairs(mentions),
                          lineage={"mentions": s_m})
 
+        # scoring salt sized from the MATERIALIZED pair count (the pairs
+        # manifest already knows it — no extra job): ~100k pairs/group
+        # keeps every task's member+pair batch bounded at any corpus
+        # size; WEBR_PAIR_SCORE_GROUPS remains the floor. Group
+        # composition never changes output (the kernel is per-pair).
+        n_pairs = wh.manifest("pairs")["rows"]
+        groups = max(PAIR_SCORE_GROUPS, min(1 << 20, n_pairs // 100_000))
         s_ps = self.snap("pair_scores", s_p, s_mi)
         pair_scores = wh.stage(
             "pair_scores", s_ps,
-            lambda: build_pair_scores_grouped(pairs, mention_feats),
+            lambda: build_pair_scores_grouped(pairs, mention_feats,
+                                              groups=groups),
             lineage={"pairs": s_p, "mention_feats": s_mi})
 
         s_c = self.snap("clusters", s_ps)
