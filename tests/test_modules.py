@@ -537,3 +537,28 @@ def test_time_features_missing_ts_markers():
     assert out["ts_day_diff"][0] == -1 and out["era_match"][0] is None
     # (u0, u2): both present -> real values (45 days apart, same era)
     assert out["ts_day_diff"][1] == 45 and out["era_match"][1] is True
+
+
+def test_pyfiles_zip_is_zipimportable():
+    """The spark-submit --py-files path (north_rule; tools/submit_er.py)
+    ships webr as a zip. zipimport does NOT support PEP-420 namespace
+    packages, so webr/__init__.py must exist and the zip must import in
+    a clean interpreter with ONLY the zip on sys.path — this is exactly
+    what a cluster executor (or a cluster-mode driver) sees."""
+    import subprocess
+    import sys
+
+    from webr.session import _package_zip
+    z = _package_zip()
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import webr, webr.engine, webr.queries.dataops, webr.synth; "
+        "assert 'webr_pyfiles' in webr.__file__, webr.__file__; "
+        "print('zipimport-ok')")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH",)}
+    out = subprocess.run([sys.executable, "-c", probe, z],
+                         capture_output=True, text=True, env=env,
+                         cwd=tempfile.gettempdir())
+    assert out.returncode == 0, out.stderr
+    assert "zipimport-ok" in out.stdout

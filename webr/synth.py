@@ -235,7 +235,10 @@ def write_parquet(path: str, seed: int = 42, scale: float = 1.0,
     import pyarrow.parquet as pq
     df = pages_to_pandas(generate_pages(seed=seed, scale=scale, **kw))
     table_cols = ["url", "warc_ts", "html", "text", "lang"]
-    pq.write_table(pa.Table.from_pandas(df[table_cols]), f"{path}/pages.parquet")
+    # pandas defaults to ns timestamps; Spark 4 refuses TIMESTAMP(NANOS)
+    # parquet ([PARQUET_TYPE_ILLEGAL]) — write us like Spark itself does
+    pq.write_table(pa.Table.from_pandas(df[table_cols]),
+                   f"{path}/pages.parquet", coerce_timestamps="us")
     pq.write_table(
         pa.Table.from_pandas(df[["url", "entity_id", "author_name", "doc_id"]]),
         f"{path}/pages_truth.parquet")
