@@ -268,3 +268,28 @@ def test_pii_scan_planted_signals(spark):
             _canon(got.reset_index()), _canon(want))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_canonical_url_rules():
+    """Each URL-canonicalization rule pinned on a crafted literal: scheme
+    fold, host lower-case, www. strip, default-port strip, duplicate-slash
+    collapse, trailing-slash strip, fragment drop, tracking-param drop,
+    param sort. Pure-expression check via DuckDB (the Spark twin is proven
+    equal by the dedup_url oracle hash in check_queries / the driver
+    gate — same expression builder, engine flag aside)."""
+    from webr.queries.dataops import _canon_url
+
+    cases = {
+        "https://a.io/x": "https://a.io/x",
+        "HTTP://WWW.A.IO:80//x//y/": "https://a.io/x/y",
+        "https://a.io:443/x?b=2&a=1#frag": "https://a.io/x?a=1&b=2",
+        "https://a.io/x?utm_source=f&id=3&gclid=g&fbclid=h":
+            "https://a.io/x?id=3",
+        "https://a.io/x?utm_source=f": "https://a.io/x",
+        "https://wwwx.a.io/x": "https://wwwx.a.io/x",  # only 'www.' strips
+    }
+    con = duckdb.connect()
+    for raw, want in cases.items():
+        got = con.execute(
+            f"SELECT {_canon_url(f'''{raw!r}''', 'duck')}").fetchone()[0]
+        assert got == want, (raw, got, want)

@@ -697,6 +697,99 @@ FROM k GROUP BY doc_id HAVING n_dropped > 0 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup: the standard zeroth rung of web-corpus dedup
+# (before any content hashing): fold scheme/case/port/www/tracking-param/
+# fragment/slash variations of the same page into one canonical URL and
+# keep the first-seen doc (C4 / CCNet-style URL normalization; the
+# reference's analog is its url-keyed record identity, SURVEY §2.1 — pages
+# reached via cosmetically different URLs are one record).
+#
+# The driver tables carry no URL column, so the query synthesizes four
+# deterministic messy variants per logical page id (pid = doc_id // 4)
+# with IDENTICAL integer arithmetic in both engines; the canonicalizer is
+# the operator under test. Variant coverage: upper-case scheme+host,
+# default ports (:80/:443), http->https fold, leading www., utm_/fbclid/
+# gclid tracking params, query-param reordering, trailing slash,
+# duplicated path slashes, #fragment.
+
+_URL_VARIANT_CASE = """CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN concat('https://www.example', h, '.com/articles/', p,
+                    '?id=', p, '&ref=nav')
+ WHEN 1 THEN concat('HTTPS://WWW.EXAMPLE', h, '.COM:443/articles/', p,
+                    '/?ref=nav&id=', p)
+ WHEN 2 THEN concat('https://example', h, '.com/articles/', p,
+                    '?utm_source=feed&ref=nav&gclid=abc&id=', p, '#frag')
+ ELSE concat('http://www.example', h, '.com:80/articles//', p,
+             '?id=', p, '&fbclid=x&ref=nav')
+END"""
+
+_URL_PART_H = "CAST(CAST(floor(doc_id / 4.0) AS BIGINT) % 7 AS STRING) AS h"
+_URL_PART_P = "CAST(CAST(floor(doc_id / 4.0) AS BIGINT) AS STRING) AS p"
+
+# shared sub-expressions (Java regex == RE2 here); {g} is the global flag
+# DuckDB's regexp_replace needs and Spark's (always-global) must not get.
+# Regexes use character classes instead of backslash escapes on purpose:
+# Spark SQL string literals process backslashes, DuckDB's keep them raw,
+# so a backslash-free pattern is the only one that is literally portable.
+_HOST_RE = "^[A-Za-z]+://([^/?#]*)"
+_PATH_RE = "^[A-Za-z]+://[^/?#]*([^?#]*)"
+_QUERY_RE = "[?]([^#]*)"
+
+
+def _canon_url(url: str, engine: str) -> str:
+    """Engine-twin canonical-url expression: lower-case host, strip
+    leading www. and default ports, fold scheme to https, collapse
+    duplicate path slashes, strip one trailing slash, drop the fragment,
+    drop tracking params (utm_*/fbclid/gclid), sort surviving params."""
+    g = ", 'g'" if engine == "duck" else ""
+    host = (f"regexp_replace(regexp_replace(lower(regexp_extract({url}, "
+            f"'{_HOST_RE}', 1)), '^www[.]', ''{g}), ':(80|443)$', ''{g})")
+    path = (f"regexp_replace(regexp_replace(regexp_extract({url}, "
+            f"'{_PATH_RE}', 1), '/+', '/'{g}), '/$', ''{g})")
+    if engine == "spark":
+        qs = (f"array_join(array_sort(filter(split("
+              f"coalesce(regexp_extract({url}, '{_QUERY_RE}', 1), ''), '&'), "
+              f"x -> x != '' AND NOT (startswith(x, 'utm_') OR "
+              f"startswith(x, 'fbclid=') OR startswith(x, 'gclid=')))), "
+              f"'&')")
+    else:
+        qs = (f"array_to_string(list_sort(list_filter(string_split("
+              f"coalesce(regexp_extract({url}, '{_QUERY_RE}', 1), ''), '&'), "
+              f"x -> x <> '' AND NOT (starts_with(x, 'utm_') OR "
+              f"starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')))), "
+              f"'&')")
+    # array_to_string over an empty list is NULL in DuckDB (not '')
+    qs = f"coalesce({qs}, '')"
+    return (f"concat('https://', {host}, {path}, "
+            f"CASE WHEN {qs} = '' THEN '' ELSE concat('?', {qs}) END)")
+
+
+def q_dedup_url(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape (100 TB): canonicalization is pure per-row JVM string
+    work (whole-stage codegen, no UDF); the dedup itself is one groupBy
+    on the canonical string with map-side-combined count/min — the same
+    single-shuffle shape as dedup_exact."""
+    d = (read(spark, sf, "documents")
+         .selectExpr("doc_id", _URL_PART_H, _URL_PART_P)
+         .withColumn("url", F.expr(_URL_VARIANT_CASE))
+         .withColumn("canon_url", F.expr(_canon_url("url", "spark"))))
+    return (d.groupBy("canon_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .orderBy("canon_url"))
+
+
+SQL_DEDUP_URL = f"""
+WITH ids AS (SELECT doc_id, {_URL_PART_H}, {_URL_PART_P}
+            FROM documents),
+u AS (SELECT doc_id, {_URL_VARIANT_CASE} AS url FROM ids),
+c AS (SELECT doc_id, {_canon_url("url", "duck")} AS canon_url FROM u)
+SELECT canon_url, count(*) AS n_variants, min(doc_id) AS keep_doc_id
+FROM c GROUP BY canon_url ORDER BY canon_url
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus statistics: doc counts, exact char-length
     min/median/max (discrete percentile — exact on both engines, unlike
@@ -986,6 +1079,7 @@ QUERIES = {
     "simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
