@@ -293,3 +293,34 @@ def test_canonical_url_rules():
         got = con.execute(
             f"SELECT {_canon_url(f'''{raw!r}''', 'duck')}").fetchone()[0]
         assert got == want, (raw, got, want)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Planted contamination: doc 32 (not a benchmark id) copies the
+    5-gram prefix of benchmark doc 3 (3 % 29 == 3); doc 1 shares
+    nothing. Exactly docs {3, 32} are flagged — 3 because a benchmark
+    item trivially contaminates its own source doc — and the DuckDB
+    mirror agrees cell-for-cell."""
+    from webr.queries.dataops import SQL_DECONTAMINATE, q_decontaminate
+
+    d = tempfile.mkdtemp(prefix="webr_decon_")
+    try:
+        rows = [
+            {"doc_id": 3,
+             "text": "alpha beta gamma delta epsilon zeta eta theta",
+             "lang": "en", "source": "s", "n_chars": 1},
+            {"doc_id": 1, "text": "totally unrelated words in this one",
+             "lang": "en", "source": "s", "n_chars": 1},
+            {"doc_id": 32,
+             "text": "stolen prefix alpha beta gamma delta epsilon here",
+             "lang": "en", "source": "s", "n_chars": 1},
+        ]
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        got = q_decontaminate(spark, d).toPandas()
+        assert sorted(got.doc_id) == [3, 32]
+        assert (got.set_index("doc_id").loc[32, "first_bench_id"] == 3)
+        want = _duck(d, SQL_DECONTAMINATE)
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

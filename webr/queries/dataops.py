@@ -790,6 +790,70 @@ FROM c GROUP BY canon_url ORDER BY canon_url
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs that share an n-gram with
+# a held-out evaluation set (the GPT-3 appendix-C / PaLM / Dolma overlap
+# filter, public). The eval set is tiny relative to the corpus BY
+# DEFINITION, so the scale shape is: explode corpus n-grams (narrow),
+# BROADCAST the benchmark n-grams, partial-agg by doc — the 100 TB corpus
+# is never shuffled on the gram key. The driver tables carry no benchmark
+# table, so one is synthesized deterministically: every doc with
+# doc_id % 29 == 3 contributes its first _DECON_PREFIX tokens as one
+# benchmark item (both engines compute the identical set).
+
+_DECON_N = 5        # n-gram width
+_DECON_PREFIX = 8   # benchmark item = first 8 tokens of the sampled doc
+
+
+def _spark_grams(toks: str, n: int) -> str:
+    return (f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> array_join(slice({toks}, i + 1, {n}), ' '))")
+
+
+def _duck_grams(toks: str, n: int) -> str:
+    return (f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+            f"for i in range(1, len({toks}) - {n - 2})]")
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    d = (read(spark, sf, "documents")
+         .withColumn("toks", F.expr(spark_tokens("text")))
+         .where(F.size("toks") >= _DECON_N))
+    grams = (d.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.expr(_spark_grams("toks", _DECON_N)))).alias("gram")))
+    bench = (d.where(F.col("doc_id") % 29 == 3)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.expr(f"slice(toks, 1, {_DECON_PREFIX})")
+                     .alias("btoks"))
+             .select("bench_id",
+                     F.explode(F.array_distinct(
+                         F.expr(_spark_grams("btoks", _DECON_N))))
+                     .alias("gram")))
+    return (grams.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("bench_id").alias("n_bench_hits"),
+                 F.min("bench_id").alias("first_bench_id"))
+            .orderBy("doc_id"))
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {_DECON_N}),
+g AS (SELECT doc_id, unnest(list_distinct(
+          {_duck_grams('toks', _DECON_N)})) AS gram FROM d),
+bt AS (SELECT doc_id AS bench_id, toks[1:{_DECON_PREFIX}] AS btoks
+       FROM d WHERE doc_id % 29 = 3),
+bg AS (SELECT bench_id, unnest(list_distinct(
+           {_duck_grams('btoks', _DECON_N)})) AS gram FROM bt)
+SELECT doc_id, count(DISTINCT bench_id) AS n_bench_hits,
+       min(bench_id) AS first_bench_id
+FROM g JOIN bg USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus statistics: doc counts, exact char-length
     min/median/max (discrete percentile — exact on both engines, unlike
@@ -1080,6 +1144,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
