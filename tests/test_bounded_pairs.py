@@ -296,11 +296,13 @@ def test_canonical_url_rules():
 
 
 def test_decontaminate_planted_overlap(spark):
-    """Planted contamination: doc 32 (not a benchmark id) copies the
-    5-gram prefix of benchmark doc 3 (3 % 29 == 3); doc 1 shares
-    nothing. Exactly docs {3, 32} are flagged — 3 because a benchmark
-    item trivially contaminates its own source doc — and the DuckDB
-    mirror agrees cell-for-cell."""
+    """Planted contamination: doc 30 (30 % 29 == 1, so genuinely NOT a
+    benchmark id — the round-3 version used 32, which IS sampled since
+    32 % 29 == 3) copies the 5-gram prefix of benchmark doc 3; doc 1
+    shares nothing. Exactly docs {3, 30} are flagged — 3 because a
+    benchmark item trivially contaminates its own source doc — each
+    hitting exactly ONE distinct benchmark item, and the DuckDB mirror
+    agrees cell-for-cell."""
     from webr.queries.dataops import SQL_DECONTAMINATE, q_decontaminate
 
     d = tempfile.mkdtemp(prefix="webr_decon_")
@@ -311,15 +313,18 @@ def test_decontaminate_planted_overlap(spark):
              "lang": "en", "source": "s", "n_chars": 1},
             {"doc_id": 1, "text": "totally unrelated words in this one",
              "lang": "en", "source": "s", "n_chars": 1},
-            {"doc_id": 32,
+            {"doc_id": 30,
              "text": "stolen prefix alpha beta gamma delta epsilon here",
              "lang": "en", "source": "s", "n_chars": 1},
         ]
         pd.DataFrame(rows).to_parquet(
             os.path.join(d, "documents.parquet"))
         got = q_decontaminate(spark, d).toPandas()
-        assert sorted(got.doc_id) == [3, 32]
-        assert (got.set_index("doc_id").loc[32, "first_bench_id"] == 3)
+        assert sorted(got.doc_id) == [3, 30]
+        by_id = got.set_index("doc_id")
+        assert by_id.loc[30, "first_bench_id"] == 3
+        assert by_id.loc[30, "n_bench_hits"] == 1
+        assert by_id.loc[3, "n_bench_hits"] == 1
         want = _duck(d, SQL_DECONTAMINATE)
         pd.testing.assert_frame_equal(_canon(got), _canon(want))
     finally:

@@ -562,3 +562,77 @@ def test_pyfiles_zip_is_zipimportable():
                          cwd=tempfile.gettempdir())
     assert out.returncode == 0, out.stderr
     assert "zipimport-ok" in out.stdout
+
+
+def test_vec_kernel_bitwise():
+    """score_pairs_indexed_vec (the engine's kernel) must reproduce the
+    scalar oracle-twin kernel cell-for-cell — bitwise floats, identical
+    None/bool cells — on a randomized member table that exercises every
+    edge: repeated names/hosts/titles (the distinct-pair reduction),
+    empty strings, missing timestamps, empty titles, zero-norm weight
+    vectors, same-doc pairs, and self-pairs."""
+    import random
+
+    import pandas as pd
+
+    from webr.features import (
+        FEATURE_COLUMNS, score_pairs_indexed, score_pairs_indexed_vec,
+        weight_arrays,
+    )
+    rng = random.Random(20260818)
+    firsts = ["ann", "a", "bob", "", "carol"]
+    middles = ["", "j", "jane", "k"]
+    lasts = ["lee", "li", "smith", "", "zhao"]
+    hosts = ["a.example", "b.example", "", "news.example.org"]
+    titles = [[], ["deep", "nets"], ["deep", "nets", "win"], ["x"]]
+    toks = ["alpha", "beta", "gamma", "delta", "eps"]
+    idf = {t: 1.0 + i * 0.37 for i, t in enumerate(toks)}
+    m = 60
+    memb = {c: [] for c in ("url", "warc_ts", "doc_id", "name_norm",
+                            "first", "middle", "last", "title_toks",
+                            "host", "w_toks", "w_vals", "w_norm")}
+    for k in range(m):
+        f, mi, la = (rng.choice(firsts), rng.choice(middles),
+                     rng.choice(lasts))
+        memb["url"].append(f"u{k}")
+        memb["warc_ts"].append(
+            None if rng.random() < 0.2
+            else pd.Timestamp("2019-01-01")
+            + pd.Timedelta(days=rng.randrange(0, 2500)))
+        memb["doc_id"].append(f"d{rng.randrange(0, 40)}")
+        memb["name_norm"].append(" ".join(x for x in (f, mi, la) if x))
+        memb["first"].append(f)
+        memb["middle"].append(mi)
+        memb["last"].append(la)
+        memb["title_toks"].append(rng.choice(titles))
+        memb["host"].append(rng.choice(hosts))
+        body = [rng.choice(toks)
+                for _ in range(rng.randrange(0, 8))]
+        t, v, nm = weight_arrays(body, idf if rng.random() < 0.9 else {})
+        memb["w_toks"].append(t)
+        memb["w_vals"].append(v)
+        memb["w_norm"].append(nm)
+    i1 = [rng.randrange(0, m) for _ in range(800)] + [0]
+    i2 = [rng.randrange(0, m) for _ in range(800)] + [0]  # self-pair too
+    ref = score_pairs_indexed(memb, i1, i2)
+    vec = score_pairs_indexed_vec(memb, i1, i2)
+    n_edges = 0
+    for c in FEATURE_COLUMNS:
+        r, v = list(ref[c]), list(vec[c])
+        assert len(r) == len(v) == len(i1), c
+        for p in range(len(r)):
+            if r[p] is None:
+                assert v[p] is None, (c, p)
+            elif isinstance(r[p], float):
+                assert repr(r[p]) == repr(v[p]), (c, p, r[p], v[p])
+            else:
+                assert r[p] == v[p], (c, p, r[p], v[p])
+    n_edges = sum(ref["is_edge"])
+    assert sum(1 for x in ref["era_match"] if x is None) > 0
+    assert any(ref["compat"]) and any(ref["same_doc"])
+
+    # empty batch: both kernels agree on shape
+    e1 = score_pairs_indexed(memb, [], [])
+    e2 = score_pairs_indexed_vec(memb, [], [])
+    assert all(len(e1[c]) == 0 and len(e2[c]) == 0
+               for c in FEATURE_COLUMNS)

@@ -215,7 +215,9 @@ def test_sparse_cosine_probe_side_invariant(t1, t2, rnd):
         assert got == 0.0
         return
     m2 = dict(zip(t2, v2))
-    prods = np.asarray([v * m2[t] for t, v in zip(t1, v1) if t in m2],
-                       np.float64)
-    ref = float(np.sum(prods)) / (n1 * n2) if len(prods) else 0.0
-    assert got == ref  # same ascending-id order, same pairwise np.sum
+    acc = 0.0
+    for t, v in zip(t1, v1):  # ascending ids, sequential fold (spec v9)
+        if t in m2:
+            acc += v * m2[t]
+    ref = acc / (n1 * n2)
+    assert got == ref  # same ascending-id order, same sequential fold

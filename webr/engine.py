@@ -280,7 +280,7 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
         import pyarrow as pa
 
         from webr.features import (
-            FEATURE_COLUMNS, MEMBER_COLUMNS, score_pairs_indexed,
+            FEATURE_COLUMNS, MEMBER_COLUMNS, score_pairs_indexed_vec,
         )
 
         def list_col_views(name: str, np_dtype) -> list:
@@ -321,7 +321,10 @@ def build_pair_scores_grouped(pairs: DataFrame, mention_feats: DataFrame,
             # frame so it cannot happen today — keep it that way loudly
             raise ValueError(
                 f"pair url missing from group membership: {e}") from e
-        out = score_pairs_indexed(memb, i1, i2)
+        # vectorized kernel (bitwise twin of the scalar oracle kernel —
+        # gated by tests/test_modules.py::test_vec_kernel_bitwise and
+        # the end-to-end engine-vs-oracle parity suite)
+        out = score_pairs_indexed_vec(memb, i1, i2)
         cols = {"url_1": pairs_tbl.column("url_1"),
                 "url_2": pairs_tbl.column("url_2"),
                 "block_key": pairs_tbl.column("block_key")}

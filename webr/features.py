@@ -104,9 +104,11 @@ def sparse_cosine_sorted(t1, v1, n1: float, t2, v2, n2: float) -> float:
     holds by construction); 0.0 if either norm is 0 (ref classifier/
     feature_vector_bow.py:23-60). The intersection runs in C via
     searchsorted on the sorted ids (cheaper than intersect1d's
-    concat+argsort), and the dot is numpy's deterministic pairwise sum
-    over ascending ids — oracle and engine call this exact function, so
-    scores stay bit-identical across them."""
+    concat+argsort), and the dot is a SEQUENTIAL left-to-right fold over
+    ascending token ids (spec v9) — the exact accumulation order
+    np.bincount uses, so the engine's batched-cosine kernel
+    (score_pairs_indexed_vec) and this scalar oracle twin stay
+    bit-identical."""
     if n1 == 0.0 or n2 == 0.0:
         return 0.0
     a1 = t1 if isinstance(t1, np.ndarray) else np.asarray(t1, np.int64)
@@ -127,9 +129,11 @@ def sparse_cosine_sorted(t1, v1, n1: float, t2, v2, n2: float) -> float:
         return 0.0
     w1 = v1 if isinstance(v1, np.ndarray) else np.asarray(v1, np.float64)
     w2 = v2 if isinstance(v2, np.ndarray) else np.asarray(v2, np.float64)
-    # .sum() IS np.sum (same pairwise reduction) minus the dispatch shim
     prods = w1[idx[mask]] * w2[mask]
-    return float(prods.sum()) / (n1 * n2)
+    acc = 0.0
+    for x in prods.tolist():  # sequential fold == bincount's order
+        acc += x
+    return acc / (n1 * n2)
 
 
 def host_similarity(ha: str, hb: str) -> float:
@@ -295,6 +299,263 @@ def score_pairs_indexed(memb: dict, i1, i2) -> dict:
     out["same_doc"] = same_doc_l
     out["is_edge"] = edge_l
     return out
+
+
+def score_pairs_indexed_vec(memb: dict, i1, i2) -> dict:
+    """Vectorized twin of ``score_pairs_indexed`` — bitwise-identical
+    output (pinned by tests/test_modules.py::test_vec_kernel_bitwise and
+    the end-to-end engine-vs-oracle parity suite).
+
+    The scalar kernel's cost is a per-pair Python loop of dict probes
+    and list stores. This twin restructures the same math so the
+    per-pair axis is C:
+
+    - trivially-pairable columns (same_doc, last-equality, soundex
+      agreement, day/era arithmetic) are numpy takes over member arrays;
+    - each string-pair feature (Jaro-Winkler, host similarity,
+      name-part match, names_compatible, title Jaccard) is computed ONCE
+      per DISTINCT unordered operand pair — enumerated with np.unique
+      over packed int64 keys instead of the scalar path's per-pair memo
+      probes — then scattered to pairs with one vectorized take. The
+      scalar memos canonicalize operands lexicographically before
+      calling the (symmetric) feature fns; the distinct-pair loop sorts
+      the operand VALUES the same way, so every call sees identical
+      arguments and the floats match bit-for-bit;
+    - the sparse cosine stays a per-active-pair call (each pair's token
+      intersection is genuinely distinct work), as does the final
+      sigmoid+round (math.exp/round kept scalar on purpose: np.exp may
+      differ from libm by 1 ulp on some hosts, and the oracle twin uses
+      math.exp).
+
+    The raw combination is one numpy expression with the same
+    left-to-right float64 op order as the scalar line, so it is
+    bitwise-equal elementwise.
+    """
+    m = len(memb["url"])
+    i1 = np.asarray(i1, dtype=np.int64)
+    i2 = np.asarray(i2, dtype=np.int64)
+    n = len(i1)
+
+    def codes_of(vals):
+        codes, uniq = pd.factorize(np.asarray(vals, dtype=object))
+        return codes.astype(np.int64), list(uniq)
+
+    doc_c, _ = codes_of(memb["doc_id"])
+    last_c, last_v = codes_of(memb["last"])
+    name_c, name_v = codes_of(memb["name_norm"])
+    host_c, host_v = codes_of(memb["host"])
+    first_c, first_v = codes_of(memb["first"])
+    middle_c, middle_v = codes_of(memb["middle"])
+
+    same_doc = doc_c[i1] == doc_c[i2]
+    last_eq = last_c[i1] == last_c[i2]
+
+    def pairwise_distinct(codes, values, f, sel=None, fvals=None):
+        """f over the DISTINCT unordered operand pairs of the selected
+        rows, scattered back to per-pair; operands are passed to f in
+        ascending-value order, exactly like the scalar memo keys."""
+        ia = i1 if sel is None else i1[sel]
+        ib = i2 if sel is None else i2[sel]
+        if len(ia) == 0:
+            return np.empty(0, dtype=object)
+        ca, cb = codes[ia], codes[ib]
+        lo = np.minimum(ca, cb)
+        hi = np.maximum(ca, cb)
+        nv = np.int64(len(values))
+        uk, inv = np.unique(lo * nv + hi, return_inverse=True)
+        src = values if fvals is None else fvals
+        out = np.empty(len(uk), dtype=object)
+        for j in range(len(uk)):
+            a, b = divmod(int(uk[j]), int(nv))
+            if values[b] < values[a]:
+                a, b = b, a
+            out[j] = f(src[a], src[b])
+        return out[inv]
+
+    # F7/F8 observational columns — every pair
+    first_match = pairwise_distinct(first_c, first_v, name_part_match)
+    middle_match = pairwise_distinct(middle_c, middle_v, name_part_match)
+
+    # P6 compat: last equality short-circuits names_compatible exactly
+    # like the scalar `and` — nc is only ever evaluated on last_eq pairs
+    sig_key = first_c * np.int64(len(middle_v)) + middle_c
+    _, uidx, sig_c = np.unique(sig_key, return_index=True,
+                               return_inverse=True)
+    first_l, middle_l = memb["first"], memb["middle"]
+    sig_vals = [(first_l[k], middle_l[k]) for k in uidx]
+    compat = np.zeros(n, dtype=bool)
+    le_idx = np.flatnonzero(last_eq)
+    if len(le_idx):
+        nc = pairwise_distinct(
+            sig_c.astype(np.int64), sig_vals,
+            lambda sa, sb: names_compatible(sa[0], sa[1], sb[0], sb[1]),
+            sel=le_idx)
+        compat[le_idx] = nc.astype(bool)
+
+    # F10/F11 analogs
+    day = np.zeros(m, dtype=np.int64)
+    era = np.zeros(m, dtype=np.int64)
+    has_ts = np.zeros(m, dtype=bool)
+    for k, t in enumerate(memb["warc_ts"]):
+        de = _ts_day_era(t)
+        if de is not None:
+            has_ts[k] = True
+            day[k], era[k] = de
+    both_ts = has_ts[i1] & has_ts[i2]
+    ts_diff = np.full(n, -1, dtype=np.int64)
+    dd = np.abs(day[i1] - day[i2])
+    np.minimum(dd, np.int64(spec.TS_DAY_DIFF_CAP), out=dd)
+    ts_diff[both_ts] = dd[both_ts]
+    era_match = np.full(n, None, dtype=object)
+    era_eq = era[i1] == era[i2]
+    # astype(object) boxes np.bool_ back to Python bool, matching the
+    # scalar kernel's `de_a[1] == de_b[1]` Python-bool cells exactly
+    era_match[both_ts] = era_eq[both_ts].astype(object)
+
+    # gated features over active pairs only (hard gates first, ref §4)
+    act = np.flatnonzero(compat & ~same_doc)
+    ia, ib = i1[act], i2[act]
+    na = len(act)
+
+    jw_a = pairwise_distinct(name_c, name_v, jaro_winkler,
+                             sel=act).astype(np.float64)
+    hs_a = pairwise_distinct(host_c, host_v, host_similarity,
+                             sel=act).astype(np.float64)
+
+    sx_per_last = np.asarray([soundex(v) for v in last_v], dtype=object)
+    sxa = sx_per_last[last_c[ia]]
+    sx_a = np.where((sxa != "") & (sxa == sx_per_last[last_c[ib]]),
+                    1.0, 0.0)
+
+    title_c, title_u, title_sets = _factorize_title(memb["title_toks"])
+    tj_a = pairwise_distinct(title_c, title_u, jaccard, sel=act,
+                             fvals=title_sets).astype(np.float64)
+
+    arrs_t = [t if isinstance(t, np.ndarray)
+              else np.asarray(t, dtype=np.int64) for t in memb["w_toks"]]
+    arrs_v = [v if isinstance(v, np.ndarray)
+              else np.asarray(v, dtype=np.float64) for v in memb["w_vals"]]
+    w_norm = memb["w_norm"]
+    bc_a = _batched_sparse_cosine(arrs_t, arrs_v, w_norm, ia, ib)
+
+    # same left-to-right float64 op order as the scalar raw line
+    raw_a = (spec.W_NAME_JW * jw_a + spec.W_SOUNDEX * sx_a
+             + spec.W_TITLE_JAC * tj_a + spec.W_BODY_COS * bc_a
+             + spec.W_HOST_SIM * hs_a)
+    score_a = np.empty(na, dtype=np.float64)
+    sl, ce, dec = spec.CAL_SLOPE, spec.CAL_CENTER, spec.SCORE_DECIMALS
+    raw_list = raw_a.tolist()
+    for k in range(na):
+        score_a[k] = round(_sigmoid(sl * (raw_list[k] - ce)), dec)
+    edge_a = (score_a >= spec.EPS) & (bc_a >= spec.COS_MIN)
+
+    def scatter(vals_a, dtype=np.float64):
+        full = np.zeros(n, dtype=dtype)
+        full[act] = vals_a
+        return full
+
+    return {
+        "name_jw": scatter(jw_a), "soundex_agree": scatter(sx_a),
+        "title_jac": scatter(tj_a), "body_cos": scatter(bc_a),
+        "host_sim": scatter(hs_a),
+        "first_match": first_match, "middle_match": middle_match,
+        "ts_day_diff": ts_diff, "era_match": era_match,
+        "compat": compat, "same_doc": same_doc,
+        "raw": scatter(raw_a), "score": scatter(score_a),
+        "is_edge": scatter(edge_a, dtype=bool),
+    }
+
+
+def _batched_sparse_cosine(arrs_t: list, arrs_v: list, w_norm: list,
+                           ia, ib) -> np.ndarray:
+    """All active pairs' sparse cosines in ONE numpy pass — the bitwise
+    twin of calling ``sparse_cosine_sorted`` per pair.
+
+    Construction: flatten the member token/value arrays once, remap
+    token ids to batch-dense ints (np.unique preserves ascending order,
+    so member segments stay sorted), then give every pair a disjoint
+    key range ``pair_idx * V + dense_id``. The concatenation of the
+    pairs' base-side segments is then GLOBALLY sorted, so a single
+    searchsorted probes every pair's smaller side into its larger side
+    at once. Matched products are summed per pair with np.bincount,
+    whose per-bin accumulation is a sequential left-to-right C loop in
+    input order (= ascending token ids within a pair) — exactly the
+    scalar twin's fold (spec v9); the unmatched positions contribute
+    +0.0, which is exact under IEEE addition, so interleaving them
+    changes nothing.
+    """
+    na = len(ia)
+    bc = np.zeros(na, dtype=np.float64)
+    if na == 0:
+        return bc
+    m = len(arrs_t)
+    lens = np.fromiter((len(t) for t in arrs_t), np.int64, m)
+    offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    tok_flat = (np.concatenate(arrs_t) if offs[-1]
+                else np.empty(0, np.int64))
+    val_flat = (np.concatenate(arrs_v) if offs[-1]
+                else np.empty(0, np.float64))
+    uniq, dense_flat = np.unique(tok_flat, return_inverse=True)
+    dense_flat = dense_flat.astype(np.int64, copy=False)
+    v_card = np.int64(len(uniq) + 1)
+
+    nrm = np.asarray(w_norm, dtype=np.float64)
+    sel = np.flatnonzero((nrm[ia] != 0.0) & (nrm[ib] != 0.0))
+    if len(sel) == 0:
+        return bc
+    sa, sb = ia[sel], ib[sel]
+    nsel = len(sel)
+    if nsel * int(v_card) >= 2 ** 62:  # key-packing headroom guard:
+        # fall back to the scalar twin (never expected at sane batch
+        # sizes — 1024-group salting keeps nsel ~1e5-1e6)
+        for k in range(nsel):
+            a, b = sa[k], sb[k]
+            bc[sel[k]] = sparse_cosine_sorted(
+                arrs_t[a], arrs_v[a], w_norm[a],
+                arrs_t[b], arrs_v[b], w_norm[b])
+        return bc
+
+    swap = lens[sb] > lens[sa]
+    base_m = np.where(swap, sb, sa)   # larger side is probed INTO
+    probe_m = np.where(swap, sa, sb)  # smaller side probes
+
+    def gather(membs):
+        seg = lens[membs]
+        total = int(seg.sum())
+        if total == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.int64))
+        ends = np.cumsum(seg)
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(ends - seg, seg) + np.repeat(offs[membs], seg))
+        pair_seq = np.repeat(np.arange(nsel, dtype=np.int64), seg)
+        return dense_flat[pos], val_flat[pos], pair_seq
+
+    b_dense, b_vals, b_seq = gather(base_m)
+    p_dense, p_vals, p_seq = gather(probe_m)
+    if len(b_dense) == 0 or len(p_dense) == 0:
+        return bc
+    b_keys = b_seq * v_card + b_dense
+    p_keys = p_seq * v_card + p_dense
+    idx = np.searchsorted(b_keys, p_keys)
+    hit = b_keys[np.minimum(idx, len(b_keys) - 1)] == p_keys
+    prods = np.zeros(len(p_keys), dtype=np.float64)
+    prods[hit] = b_vals[idx[hit]] * p_vals[hit]
+    dots = np.bincount(p_seq, weights=prods, minlength=nsel)
+    bc[sel] = dots / (nrm[sa] * nrm[sb])
+    return bc
+
+
+def _factorize_title(title_toks) -> tuple:
+    """Member title-token lists -> (codes, unique tuples, aligned
+    (tuple, set) list). Sets are built once per DISTINCT title so the
+    Jaccard distinct-pair loop never rebuilds them."""
+    keys = np.empty(len(title_toks), dtype=object)
+    for i, t in enumerate(title_toks):
+        keys[i] = tuple(t)
+    codes, uniq = pd.factorize(keys)
+    return codes.astype(np.int64), list(uniq), [set(t) for t in uniq]
 
 
 def score_pairs(pairs: pd.DataFrame) -> pd.DataFrame:

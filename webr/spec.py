@@ -24,12 +24,18 @@ Anything here changes => goldens change; bump SCORING_VERSION.
 #     fold to np.sum (pairwise summation) and weight_arrays now merges
 #     60-bit hash collisions into one entry. Don't trust pre-v7 scores
 #     in parity debugging.
-SCORING_VERSION = "v8"  # v8: mentions/mention_feats carry warc_ts and
-                        # pair_scores carries the F10/F11-analog
-                        # observational columns ts_day_diff (capped) +
-                        # era_match (scores unchanged — these are NOT
-                        # score inputs; bump invalidates old-schema
-                        # checkpoints)
+# v8: mentions/mention_feats carry warc_ts and pair_scores carries the
+#     F10/F11-analog observational columns ts_day_diff (capped) +
+#     era_match (scores unchanged — these are NOT score inputs; bump
+#     invalidates old-schema checkpoints)
+SCORING_VERSION = "v9"  # v9: sparse_cosine_sorted's intersection dot is
+                        # a SEQUENTIAL ascending-token-id fold (was
+                        # numpy pairwise np.sum since v7) so the
+                        # batched-cosine engine kernel (one bincount
+                        # across all pairs) and the scalar oracle twin
+                        # accumulate in the same order. body_cos may
+                        # differ from v8 by ulps on pairs with >8 shared
+                        # tokens; SCORE_DECIMALS rounding absorbs it.
 
 # F10/F11 analogs on crawl time (ref classifier/feature_vector.py:143-164
 # year-era bucket; feature_vector_bow.py:159-165 capped |year diff|)
