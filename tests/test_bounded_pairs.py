@@ -287,6 +287,11 @@ def test_canonical_url_rules():
             "https://a.io/x?id=3",
         "https://a.io/x?utm_source=f": "https://a.io/x",
         "https://wwwx.a.io/x": "https://wwwx.a.io/x",  # only 'www.' strips
+        # valueless tracking params (bare '?fbclid' / '?gclid') drop too
+        "https://a.io/x?fbclid&id=3": "https://a.io/x?id=3",
+        "https://a.io/x?gclid": "https://a.io/x",
+        # ...but a non-tracking key that merely PREFIXES one survives
+        "https://a.io/x?fbclidx=1": "https://a.io/x?fbclidx=1",
     }
     con = duckdb.connect()
     for raw, want in cases.items():

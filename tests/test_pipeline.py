@@ -105,6 +105,22 @@ def test_resume_from_checkpoint(spark, pages_df, oracle_result,
     cl1 = _clusters_pd(out1)
     man_pairs_before = pipe.wh.manifest("pair_scores")
 
+    # per-partition counters (north_rule "per-partition lineage +
+    # metrics"): every stage manifest carries per-FILE row counts that
+    # sum to the stage total, and the mentions stage records the P3
+    # parse_ok/parse_fail observe counters collected from the write
+    # action itself
+    for tbl in ("mentions", "pairs", "pair_scores", "clusters"):
+        man = pipe.wh.manifest(tbl)
+        assert man["partitions"], tbl
+        assert sum(p["rows"] for p in man["partitions"]) == man["rows"]
+        assert all(p["path"] and not p["path"].startswith("/")
+                   for p in man["partitions"])
+    cnt = pipe.wh.manifest("mentions")["counters"]
+    assert cnt["rows_out"] == pipe.wh.manifest("mentions")["rows"]
+    assert cnt["parse_ok"] + cnt["parse_fail"] == cnt["rows_out"]
+    assert cnt["parse_ok"] > 0
+
     # "kill" after pair_scores: downstream tables are lost
     pipe.wh.drop("clusters")
     pipe.wh.drop("entities")
@@ -246,3 +262,31 @@ def test_time_pair_features(pipeline_out, oracle_result, corpus_pd):
                                == (b.year // spec.TS_ERA_YEARS))
     # every corpus page carries warc_ts -> no missing markers
     assert (sp.ts_day_diff >= 0).all()
+
+
+def test_er_pipeline_f1_driver_row(spark):
+    """The er_pipeline_f1 driver row must equal the NumPy pairwise_f1
+    twin computed over the same (clusters, truth, distinct labeled
+    pairs) — and clear the BASELINE.json >= 0.99 gate."""
+    from webr.queries.er_pipeline import (
+        _N_ENTITIES, _PAGES_PER_ENTITY, _SEED, _run, q_er_pipeline_f1,
+    )
+    from webr.synth import generate_pages, pages_to_pandas
+
+    row = q_er_pipeline_f1(spark, "").toPandas().iloc[0]
+    pages_pd = pages_to_pandas(generate_pages(
+        n_entities=_N_ENTITIES, pages_per_entity=_PAGES_PER_ENTITY,
+        seed=_SEED))
+    out = _run(spark)
+    cl = out["clusters"].toPandas()
+    pairs = (out["pairs"].select("url_1", "url_2").distinct()
+             .toPandas())
+    truth = dict(zip(pages_pd.url, pages_pd.entity_id))
+    gold = pd.DataFrame({"url": cl.url,
+                         "cluster_id": [truth[u] for u in cl.url],
+                         "is_noise": False})
+    f1 = pairwise_f1(cl, gold, pairs)
+    assert abs(row.pairwise_f1 - round(f1, 9)) < 1e-12
+    assert row.pairwise_f1 >= 0.99
+    assert row.n_labeled_pairs == len(pairs)
+    assert row.tp > 0 and row.fn == 0

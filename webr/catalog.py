@@ -63,7 +63,19 @@ class Warehouse:
     # -- io ----------------------------------------------------------------
     def write(self, table: str, df: DataFrame, snapshot: str,
               lineage: dict | None = None,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              observation=None) -> DataFrame:
+        """Write + manifest. ``observation``: a pyspark Observation
+        already attached to ``df`` via ``df.observe`` — its metrics are
+        collected AFTER the parquet write (the action that populates
+        it) and recorded as ``counters``, costing zero extra jobs.
+        The manifest also records per-FILE row counts (``partitions``)
+        straight from the parquet footers pyarrow already reads for the
+        total, so a resume after a partial failure can localize skew or
+        a short-written partition, not just verify the stage total —
+        the Iceberg per-manifest-entry stats analog (north_rule
+        "per-partition lineage + metrics"; reference analog: the
+        inspectable per-block files of extract_blocks.py:64-71)."""
         d = self._dir(table)
         data = os.path.join(d, "data")
         if os.path.exists(d):
@@ -73,14 +85,27 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(data)
         out = self.spark.read.parquet(data)
-        # row count from parquet footers (pyarrow metadata) — a full
+        # row counts from parquet footers (pyarrow metadata) — a full
         # Spark re-scan per stage was pure flat overhead
         import pyarrow.dataset as pads
-        n = pads.dataset(data, format="parquet").count_rows()
+        parts = []
+        n = 0
+        for frag in pads.dataset(data, format="parquet").get_fragments():
+            rows = frag.count_rows()  # footer metadata, no data scan
+            parts.append({"path": os.path.relpath(frag.path, data),
+                          "rows": rows})
+            n += rows
+        parts.sort(key=lambda x: x["path"])
+        counters = {}
+        if observation is not None:
+            counters = {k: (int(v) if isinstance(v, (int, bool)) else v)
+                        for k, v in observation.get.items()}
         man = {
             "table": table,
             "snapshot": snapshot,
             "rows": n,
+            "partitions": parts,
+            "counters": counters,
             "schema": out.schema.json(),
             "lineage": lineage or {},
             "written_unix": int(time.time()),
@@ -173,13 +198,17 @@ class Warehouse:
     # -- stage runner (resume point) ---------------------------------------
     def stage(self, table: str, snapshot: str, build,
               lineage: dict | None = None,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              observation=None) -> DataFrame:
         """Return checkpointed stage output; rebuild only when the
-        snapshot fingerprint (spec + upstream lineage) changed."""
+        snapshot fingerprint (spec + upstream lineage) changed.
+        ``observation`` is only consumed when the stage actually
+        rebuilds (a resumed checkpoint never triggered the action)."""
         if self.has_snapshot(table, snapshot):
             return self.read(table)
         t0 = time.monotonic()
-        out = self.write(table, build(), snapshot, lineage, partition_by)
+        out = self.write(table, build(), snapshot, lineage, partition_by,
+                         observation=observation)
         if os.environ.get("WEBR_STAGE_TIMING"):
             print(f"[stage] {table}: {time.monotonic() - t0:.2f}s "
                   f"rows={self.manifest(table)['rows']}", flush=True)

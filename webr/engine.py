@@ -22,7 +22,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 
 from webr import schema, spec
 from webr.catalog import Warehouse, fingerprint
@@ -448,8 +448,19 @@ class Pipeline:
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         wh = self.wh
         s_m = self.snap("mentions")
-        mentions = wh.stage("mentions", s_m, lambda: build_mentions(pages),
-                            lineage={"input": self.base})
+        # P3 counters ride the write action via df.observe (zero extra
+        # jobs) and land in the stage manifest — parse_ok/parse_fail
+        # make a resumed run's extraction quality auditable per stage
+        obs_m = Observation()
+        mentions = wh.stage(
+            "mentions", s_m,
+            lambda: build_mentions(pages).observe(
+                obs_m,
+                F.count(F.lit(1)).alias("rows_out"),
+                F.sum(F.col("parse_ok").cast("long")).alias("parse_ok"),
+                F.sum((~F.col("parse_ok")).cast("long"))
+                .alias("parse_fail")),
+            lineage={"input": self.base}, observation=obs_m)
         n_mentions = wh.manifest("mentions")["rows"]
 
         s_idf = self.snap("idf", s_m)

@@ -656,12 +656,21 @@ def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
     # distinct-then-count instead of countDistinct: the pre-aggregation
     # dedupes (chunk, doc_id) map-side, so a boilerplate chunk repeated
     # millions of times inside hot docs never inflates the shuffle the
-    # way the expand-based COUNT(DISTINCT) plan would
-    stats = (chunks.select("chunk", "doc_id").distinct()
-             .groupBy("chunk")
+    # way the expand-based COUNT(DISTINCT) plan would.
+    # Both the stats aggregation and the join are keyed on
+    # xxhash64(chunk) — an 8-byte key — so the ~10-token chunk TEXT
+    # never rides the stats shuffle at all and partitions the join as a
+    # fixed-width key (it still travels once, as join-probe payload,
+    # because the keep-side md5 reconstruction needs it). A 64-bit
+    # collision would merge two chunk groups (odds ~n²/2^65 — below
+    # parquet bit-rot); the DuckDB twin groups by its own 64-bit
+    # hash(chunk), each engine internally consistent.
+    hashed = chunks.withColumn("ck", F.xxhash64("chunk"))
+    stats = (hashed.select("ck", "doc_id").distinct()
+             .groupBy("ck")
              .agg(F.count("*").alias("n_docs"),
                   F.min("doc_id").alias("keeper")))
-    keyed = (chunks.join(stats, "chunk")
+    keyed = (hashed.join(stats, "ck")
              .withColumn("keep", (F.col("n_docs") < 2)
                          | (F.col("doc_id") == F.col("keeper"))))
     return (keyed.groupBy("doc_id")
@@ -682,12 +691,12 @@ c AS (SELECT doc_id, (i - 1) // {_LINE_W} AS i,
              array_to_string(tk[i:i+{_LINE_W - 1}], ' ') AS chunk
       FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1, {_LINE_W}))
                        AS i) r),
-g AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs,
+g AS (SELECT hash(chunk) AS ck, count(DISTINCT doc_id) AS n_docs,
              min(doc_id) AS keeper
-      FROM c GROUP BY chunk),
+      FROM c GROUP BY hash(chunk)),
 k AS (SELECT c.doc_id, c.i, c.chunk,
              (g.n_docs < 2 OR c.doc_id = g.keeper) AS keep
-      FROM c JOIN g USING (chunk))
+      FROM c JOIN g ON hash(c.chunk) = g.ck)
 SELECT doc_id, count(*) AS n_chunks,
        CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
        AS n_dropped,
@@ -741,7 +750,9 @@ def _canon_url(url: str, engine: str) -> str:
     """Engine-twin canonical-url expression: lower-case host, strip
     leading www. and default ports, fold scheme to https, collapse
     duplicate path slashes, strip one trailing slash, drop the fragment,
-    drop tracking params (utm_*/fbclid/gclid), sort surviving params."""
+    drop tracking params (utm_* by key prefix; fbclid/gclid bare or
+    with '=value' — a valueless '?fbclid' is still tracking cruft),
+    sort surviving params."""
     g = ", 'g'" if engine == "duck" else ""
     host = (f"regexp_replace(regexp_replace(lower(regexp_extract({url}, "
             f"'{_HOST_RE}', 1)), '^www[.]', ''{g}), ':(80|443)$', ''{g})")
@@ -751,13 +762,15 @@ def _canon_url(url: str, engine: str) -> str:
         qs = (f"array_join(array_sort(filter(split("
               f"coalesce(regexp_extract({url}, '{_QUERY_RE}', 1), ''), '&'), "
               f"x -> x != '' AND NOT (startswith(x, 'utm_') OR "
-              f"startswith(x, 'fbclid=') OR startswith(x, 'gclid=')))), "
+              f"x = 'fbclid' OR startswith(x, 'fbclid=') OR "
+              f"x = 'gclid' OR startswith(x, 'gclid=')))), "
               f"'&')")
     else:
         qs = (f"array_to_string(list_sort(list_filter(string_split("
               f"coalesce(regexp_extract({url}, '{_QUERY_RE}', 1), ''), '&'), "
               f"x -> x <> '' AND NOT (starts_with(x, 'utm_') OR "
-              f"starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')))), "
+              f"x = 'fbclid' OR starts_with(x, 'fbclid=') OR "
+              f"x = 'gclid' OR starts_with(x, 'gclid=')))), "
               f"'&')")
     # array_to_string over an empty list is NULL in DuckDB (not '')
     qs = f"coalesce({qs}, '')"

@@ -46,6 +46,57 @@ def q_er_entities(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cluster_id"))
 
 
+def q_er_pipeline_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """The BASELINE.json headline gate (pairwise F1 >= 0.99 on labeled
+    pairs at the same blocking key) surfaced as a driver row instead of
+    living only in pytest: one row (pairwise_f1, tp, fp, fn,
+    n_labeled_pairs) comparing the engine's clusters against the
+    generator's hidden entity_id truth over the pipeline's own
+    blocking-key pairs. Computed entirely as DataFrame ops (two slim
+    joins + one aggregate — no collect); exact numeric parity with the
+    NumPy ``oracle.pairwise_f1`` twin is pinned by
+    tests/test_pipeline.py::test_er_pipeline_f1_driver_row."""
+    pages_pd = pages_to_pandas(generate_pages(
+        n_entities=_N_ENTITIES, pages_per_entity=_PAGES_PER_ENTITY,
+        seed=_SEED))
+    out = _run(spark)
+    truth = spark.createDataFrame(pages_pd[["url", "entity_id"]])
+    lab = (out["clusters"]
+           .select("url", F.when(~F.col("is_noise"), F.col("cluster_id"))
+                   .alias("pred"))
+           .join(truth, "url"))
+    pairs = out["pairs"].select("url_1", "url_2").distinct()
+    l1 = lab.select(F.col("url").alias("url_1"),
+                    F.col("pred").alias("p1"),
+                    F.col("entity_id").alias("g1"))
+    l2 = lab.select(F.col("url").alias("url_2"),
+                    F.col("pred").alias("p2"),
+                    F.col("entity_id").alias("g2"))
+    j = (pairs.join(l1, "url_1").join(l2, "url_2")
+         .select((F.col("p1").isNotNull()
+                  & (F.col("p1") == F.col("p2"))).alias("p"),
+                 (F.col("g1") == F.col("g2")).alias("g")))
+    agg = j.agg(
+        F.sum(F.when(F.col("p") & F.col("g"), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("p") & ~F.col("g"), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(~F.col("p") & F.col("g"), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.count(F.lit(1)).alias("n_labeled_pairs"))
+    return agg.select(
+        F.round(F.expr(
+            "CASE WHEN (CASE WHEN tp+fp=0 THEN 1.0D ELSE tp/(tp+fp) END "
+            "   + CASE WHEN tp+fn=0 THEN 1.0D ELSE tp/(tp+fn) END) = 0 "
+            "THEN 0.0D ELSE "
+            "2 * (CASE WHEN tp+fp=0 THEN 1.0D ELSE tp/(tp+fp) END) "
+            "  * (CASE WHEN tp+fn=0 THEN 1.0D ELSE tp/(tp+fn) END) "
+            "/ ((CASE WHEN tp+fp=0 THEN 1.0D ELSE tp/(tp+fp) END) "
+            " + (CASE WHEN tp+fn=0 THEN 1.0D ELSE tp/(tp+fn) END)) END"),
+            9).alias("pairwise_f1"),
+        "tp", "fp", "fn", "n_labeled_pairs")
+
+
 def q_record_query_topk(spark: SparkSession, sf: str) -> DataFrame:
     """C6/J5-J7/A7/W1: incremental record->cluster match. Five corpus pages
     (deterministic picks) re-submitted as query records against the built
@@ -110,6 +161,7 @@ def q_query_eval(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "er_pipeline_clusters": (q_er_clusters, None),
     "er_pipeline_entities": (q_er_entities, None),
+    "er_pipeline_f1": (q_er_pipeline_f1, None),
     "record_query_topk": (q_record_query_topk, None),
     "query_eval": (q_query_eval, None),
 }
