@@ -334,3 +334,41 @@ def test_decontaminate_planted_overlap(spark):
         pd.testing.assert_frame_equal(_canon(got), _canon(want))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lang_id_multilang(spark):
+    """Planted fixture per language: a doc written mostly in each
+    language's function words must be classified as that language, a
+    stopword-free doc as 'other', and the DuckDB twin must agree
+    cell-for-cell (integer-count argmax, exact arithmetic)."""
+    from webr.queries.dataops import SQL_LANG_ID, q_lang_id
+
+    texts = {
+        0: ("en", "the cat is on the mat and it was not there when we "
+                  "came from the market with all of our things"),
+        1: ("es", "la casa de el perro y la que se fue por un camino "
+                  "con no una cosa para los amigos del pueblo"),
+        2: ("de", "der hund und die katze sind in dem haus mit einem "
+                  "ball und das ist nicht so wie es war"),
+        3: ("fr", "le chien et la maison des amis qui sont dans un "
+                  "jardin avec une fleur pour les enfants du village"),
+        4: ("it", "il cane e la casa che sono in un giardino con le "
+                  "cose di questo paese e anche della gente"),
+        5: ("other", "zzz qqq www rrr kkk mmm nnn ppp"),
+    }
+    d = tempfile.mkdtemp(prefix="webr_langid_")
+    try:
+        rows = [{"doc_id": k, "text": t, "lang": lg, "source": "s",
+                 "n_chars": len(t)} for k, (lg, t) in texts.items()]
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        got = q_lang_id(spark, d).toPandas()
+        by_id = got.set_index("doc_id")
+        for k, (lg, _t) in texts.items():
+            assert by_id.loc[k, "pred_lang"] == lg, (k, lg, by_id.loc[k])
+        assert (got.margin >= 0).all()
+        assert (by_id.loc[5, "best_ratio"] == 0.0)
+        want = _duck(d, SQL_LANG_ID)
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

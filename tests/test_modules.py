@@ -636,3 +636,58 @@ def test_vec_kernel_bitwise():
     e2 = score_pairs_indexed_vec(memb, [], [])
     assert all(len(e1[c]) == 0 and len(e2[c]) == 0
                for c in FEATURE_COLUMNS)
+
+
+def test_sniff_media_formats_and_edges():
+    """Pure header parser: real PNG/JPEG/GIF dims round-trip through the
+    byte builders; truncated / garbage / dimension-less containers
+    degrade to NULLs, never raise."""
+    from webr.multimodal import (
+        gif_bytes, jpeg_bytes, png_bytes, sniff_media,
+    )
+    assert sniff_media(png_bytes(640, 480)) == ("png", 640, 480)
+    assert sniff_media(jpeg_bytes(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert sniff_media(gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert sniff_media(b"") == (None, None, None)
+    assert sniff_media(b"<html>not media</html>") == (None, None, None)
+    assert sniff_media(png_bytes(9, 9)[:20]) == (None, None, None)
+    # recognized JPEG whose SOF was truncated away: format, NULL dims
+    assert sniff_media(jpeg_bytes(9, 9)[:6]) == ("jpeg", None, None)
+    # JPEG with a restart marker before SOF still walks to the dims
+    j = jpeg_bytes(33, 44)
+    assert sniff_media(j[:2] + b"\xff\xd0" + j[2:]) == ("jpeg", 33, 44)
+    # GIF87a variant
+    g = bytearray(gif_bytes(12, 34))
+    g[3:6] = b"87a"
+    assert sniff_media(bytes(g)) == ("gif", 12, 34)
+
+
+def test_multimodal_sniff_mode(spark):
+    """decode_stub='sniff' flows REAL header dims + format through the
+    Arrow batch path; unknown payloads keep NULL dims and NULL format."""
+    import pandas as pd
+
+    from webr.multimodal import (
+        extract_media_meta, jpeg_bytes, png_bytes,
+    )
+    rows = pd.DataFrame({
+        "media_id": ["a", "b", "c"],
+        "kind": ["image", "image", "image"],
+        "payload": [png_bytes(100, 50), jpeg_bytes(70, 35),
+                    b"not an image"],
+    })
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary")
+    meta = (extract_media_meta(media, decode_stub="sniff")
+            .toPandas().set_index("media_id"))
+    assert (meta.loc["a", "format"], meta.loc["a", "width"],
+            meta.loc["a", "height"]) == ("png", 100, 50)
+    assert (meta.loc["b", "format"], meta.loc["b", "width"],
+            meta.loc["b", "height"]) == ("jpeg", 70, 35)
+    assert meta.loc["c", "format"] is None
+    assert pd.isna(meta.loc["c", "width"])
+    # 'fake' mode still sniffs the format column (no codec needed)
+    fake = (extract_media_meta(media, decode_stub="fake")
+            .toPandas().set_index("media_id"))
+    assert fake.loc["a", "format"] == "png"
+    assert fake.loc["a", "width"] is not None

@@ -88,7 +88,7 @@ def png_bytes(w: int, h: int) -> bytes:
 
 
 def jpeg_bytes(w: int, h: int) -> bytes:
-    """SOI + APP0(JFIF) + SOF0 + EOI; 35 bytes. The APP0 segment forces
+    """SOI + APP0(JFIF) + SOF0 + EOI; 34 bytes. The APP0 segment forces
     the sniffer's walker to skip a non-SOF segment correctly."""
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")

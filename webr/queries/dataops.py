@@ -474,36 +474,94 @@ FROM rk WHERE rk <= 3 ORDER BY q_id, rk
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 
-def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic language ID: English-stopword ratio (n-gram-free variant
-    suited to the integer-parity oracle). Reports prediction vs the lang
-    column for accuracy accounting downstream."""
-    d = (read(spark, sf, "documents")
-         .withColumn("toks", F.expr(spark_tokens("text")))
-         .withColumn("n_stop", F.size(F.expr(
-             f"filter(toks, "
-             f"x -> array_contains(array({_STOP_SQL}), x))"))))
-    return (d.select(
+# Multi-class language ID (CCNet-style stopword discriminator, public
+# method): per-language function-word counts -> integer argmax. Sets are
+# small pinned samples of each language's most frequent function words,
+# restricted to ASCII because the shared tokenizer splits on [^a-z0-9]
+# (accented forms like 'más'/'für' tokenize apart and can never match).
+# English reuses the full textproc.STOPWORDS list.
+_LANG_STOPS: dict[str, list[str]] = {
+    "de": ("der die und in den von zu das mit sich des auf ist im dem "
+           "nicht ein eine als auch es an werden aus er hat dass sie "
+           "nach wird bei einer um am sind noch wie einem einen so zum "
+           "war haben nur oder aber vor zur bis mehr durch man").split(),
+    "en": sorted(STOPWORDS),
+    "es": ("de la que el en y los del se las por un para con no una su "
+           "al lo como pero sus le ya o este esta entre cuando muy sin "
+           "sobre hasta donde desde nos todo bien fue ser son dos").split(),
+    "fr": ("de la le et les des en un du une que est pour qui dans par "
+           "plus pas au sur ne se ce il sont mais comme ou si leur y "
+           "dont aux avec son cette ses tout nous sa vous elle").split(),
+    "it": ("di e il la che in a per un non sono con si da come le dei "
+           "nel alla anche questo della suo gli dal nella questa tra "
+           "ma se degli delle nei questi quella essere hanno").split(),
+}
+_LANGS = sorted(_LANG_STOPS)  # alphabetical = deterministic tie-break
+
+
+def _lang_id_parts(engine: str) -> tuple[list[str], list[str]]:
+    """Engine-twin expression fragments: per-language count exprs over a
+    ``toks`` column, and the output select list (argmax pred_lang with
+    alphabetical tie-break on equal counts, winning ratio, margin to the
+    runner-up). Integer counts do the argmax, so cross-engine parity is
+    exact arithmetic, no float comparisons."""
+    counts = []
+    for lg in _LANGS:
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPS[lg]))
+        if engine == "spark":
+            counts.append(f"size(filter(toks, x -> array_contains("
+                          f"array({words}), x))) AS n_{lg}")
+        else:
+            counts.append(f"len(list_filter(toks, x -> list_contains("
+                          f"[{words}], x))) AS n_{lg}")
+    nlen = ("greatest(size(toks), 1)" if engine == "spark"
+            else "greatest(len(toks), 1)")
+    best = "greatest(" + ", ".join(f"n_{lg}" for lg in _LANGS) + ")"
+    win = ("CASE " + " ".join(f"WHEN n_{lg} = {best} THEN '{lg}'"
+                              for lg in _LANGS) + " END")
+    second = ("CASE " + " ".join(
+        f"WHEN ({win}) = '{lg}' THEN greatest("
+        + ", ".join(f"n_{o}" for o in _LANGS if o != lg) + ")"
+        for lg in _LANGS) + " END")
+    cast = (lambda x: f"cast({x} AS DOUBLE)") if engine == "spark" \
+        else (lambda x: f"({x})::DOUBLE")
+    select = [
         "doc_id", "lang",
-        F.round(F.col("n_stop") / F.greatest(F.size("toks"), F.lit(1)), 6)
-        .alias("stop_ratio"),
-        F.when(F.col("n_stop") / F.greatest(F.size("toks"), F.lit(1))
-               >= 0.03, "en").otherwise("other").alias("pred_lang"))
-        .orderBy("doc_id"))
+        f"CASE WHEN {cast(best)} / {nlen} >= 0.03 THEN ({win}) "
+        f"ELSE 'other' END AS pred_lang",
+        f"round({cast(best)} / {nlen}, 6) AS best_ratio",
+        f"round({cast(f'{best} - ({second})')} / {nlen}, 6) AS margin",
+    ]
+    return counts, select
 
 
-SQL_LANG_ID = f"""
-WITH t AS (
-  SELECT doc_id, lang, {duck_tokens('text')} AS toks,
-         len(list_filter({duck_tokens('text')},
-                         x -> list_contains([{_STOP_SQL}], x))) AS n_stop
-  FROM documents)
-SELECT doc_id, lang,
-       round(n_stop::DOUBLE / greatest(len(toks), 1), 6) AS stop_ratio,
-       CASE WHEN n_stop::DOUBLE / greatest(len(toks), 1) >= 0.03
-            THEN 'en' ELSE 'other' END AS pred_lang
-FROM t ORDER BY doc_id
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic multi-class language ID (en/es/de/fr/it + 'other'):
+    per-language stopword counts, integer argmax with alphabetical
+    tie-break, winning ratio and runner-up margin. Pure JVM expressions
+    (whole-stage codegen, no UDF) — at 100 TB this is a narrow scan-time
+    map with zero shuffle. Planted-fixture per-language correctness in
+    tests/test_bounded_pairs.py::test_lang_id_multilang."""
+    counts, select = _lang_id_parts("spark")
+    return (read(spark, sf, "documents")
+            .withColumn("toks", F.expr(spark_tokens("text")))
+            .selectExpr("doc_id", "lang", "toks",
+                        *[c for c in counts])
+            .selectExpr(*select)
+            .orderBy("doc_id"))
+
+
+def _sql_lang_id() -> str:
+    counts, select = _lang_id_parts("duck")
+    return f"""
+WITH t AS (SELECT doc_id, lang, {duck_tokens('text')} AS toks
+           FROM documents),
+c AS (SELECT doc_id, lang, toks, {', '.join(counts)} FROM t)
+SELECT {', '.join(select)} FROM c ORDER BY doc_id
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
@@ -954,6 +1012,57 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_media_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Real container sniffing over a binary media column, with a strong
+    oracle: each doc_id deterministically synthesizes a PNG / JPEG / GIF
+    payload (webr.multimodal byte builders) whose dimensions are an
+    arithmetic function of doc_id, then ROUND-TRIPS it through the
+    pure-Python header parser (sniff_media: PNG IHDR, JPEG SOFn segment
+    walk, GIF logical screen descriptor). The DuckDB twin computes the
+    expected format/width/height/n_bytes from doc_id arithmetic alone —
+    so a parser or builder bug breaks the value-hash match. Arrow-batched
+    mapInPandas (the decode shape real multimodal corpora need); at
+    100 TB this is a narrow per-row map, no shuffle at all."""
+    import pandas as pdl
+
+    from webr.multimodal import gif_bytes, jpeg_bytes, png_bytes, sniff_media
+
+    d = read(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            fmt_l, w_l, h_l, nb = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 240
+                h = 16 + (did * 7) % 240
+                b = (png_bytes, jpeg_bytes, gif_bytes)[did % 3](w, h)
+                f, sw, sh = sniff_media(b)
+                fmt_l.append(f)
+                w_l.append(sw)
+                h_l.append(sh)
+                nb.append(len(b))
+            yield pdl.DataFrame({
+                "doc_id": pdf["doc_id"], "format": fmt_l,
+                "width": w_l, "height": h_l, "n_bytes": nb})
+    return (d.mapInPandas(
+        gen, "doc_id long, format string, width int, height int, "
+             "n_bytes long")
+        .orderBy("doc_id"))
+
+
+SQL_MEDIA_SNIFF = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'gif' END AS format,
+       CAST(16 + doc_id % 240 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 34
+            ELSE 14 END AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 SQL_MULTIMODAL_META = """
 SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
        sha256(text) AS payload_sha256,
@@ -1168,6 +1277,7 @@ QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "media_sniff": (q_media_sniff, SQL_MEDIA_SNIFF),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk()),
     "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk()),
 }
