@@ -199,12 +199,19 @@ def _run_er_leg(cores: int) -> dict:
     # the efficiency ratio is fiction.
     pin = ["taskset", "-c", f"0-{cores - 1}"] \
         if shutil.which("taskset") else []
-    p = subprocess.run(
-        pin + [sys.executable, os.path.abspath(__file__), "--er-only"],
-        capture_output=True, text=True, env=env, timeout=3600)
-    line = [ln for ln in p.stdout.strip().splitlines()
-            if ln.startswith("{")][-1]
-    return json.loads(line)
+    for attempt in range(2):  # one retry: a leg lost to a transient
+        # host hiccup shouldn't abort a multi-leg invocation
+        p = subprocess.run(
+            pin + [sys.executable, os.path.abspath(__file__), "--er-only"],
+            capture_output=True, text=True, env=env, timeout=3600)
+        lines = [ln for ln in p.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        print(f"[leg local[{cores}] attempt {attempt}] no result; "
+              f"stderr tail:\n" + "\n".join(
+                  p.stderr.strip().splitlines()[-15:]), file=sys.stderr)
+    raise RuntimeError(f"er leg at {cores} cores failed twice")
 
 
 def main_scaling() -> None:

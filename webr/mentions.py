@@ -16,8 +16,8 @@ import pandas as pd
 
 from webr import spec
 from webr.textproc import (
-    doc_id_of, extract_h1, extract_text, extract_title, host_of,
-    minhash_band_keys, tokenize, try_parse_name,
+    decode_html, doc_id_of, extract_h1, extract_text, extract_title,
+    host_of, minhash_band_keys, tokenize, try_parse_name,
 )
 
 MENTION_COLUMNS = [
@@ -47,9 +47,10 @@ def block_keys_for(host: str, first: str, last: str,
 
 def derive_mention_row(url: str, html, text: str | None,
                        warc_ts=None) -> dict:
-    txt = text if text else extract_text(html)
-    title = extract_title(html)
-    name_raw = extract_h1(html)
+    page = decode_html(html)  # one UTF-8 pass; extract_* share the str
+    txt = text if text else extract_text(page)
+    title = extract_title(page)
+    name_raw = extract_h1(page)
     parsed = try_parse_name(name_raw)
     first, middle, last = parsed if parsed else ("", "", "")
     host = host_of(url)

@@ -65,32 +65,42 @@ def _clean_fragment(s: str) -> str:
     return _RE_WS.sub(" ", s).strip()
 
 
-def extract_text(html_bytes: bytes | None) -> str:
+def decode_html(html_bytes: bytes | str | None) -> str:
+    """Payload -> str, exactly once. The three extract_* functions used to
+    decode the (large) html column independently — three full UTF-8 passes
+    per page in the mentions hot path; callers that need several fields
+    decode here and pass the str through."""
+    if html_bytes is None:
+        return ""
+    if isinstance(html_bytes, str):
+        return html_bytes
+    return bytes(html_bytes).decode("utf-8", errors="replace")
+
+
+def extract_text(html_bytes: bytes | str | None) -> str:
     """Full visible text of a page: drop script/style/comments, strip tags,
     unescape entities, collapse whitespace. Byte-identical across oracle and
     engine because both call this exact function."""
     if html_bytes is None:
         return ""
-    s = bytes(html_bytes).decode("utf-8", errors="replace")
+    s = decode_html(html_bytes)
     s = _RE_SCRIPT.sub(" ", s)
     s = _RE_COMMENT.sub(" ", s)
     return _clean_fragment(s)
 
 
-def extract_title(html_bytes: bytes | None) -> str:
+def extract_title(html_bytes: bytes | str | None) -> str:
     if html_bytes is None:
         return ""
-    s = bytes(html_bytes).decode("utf-8", errors="replace")
-    m = _RE_TITLE.search(s)
+    m = _RE_TITLE.search(decode_html(html_bytes))
     return _clean_fragment(m.group(1)) if m else ""
 
 
-def extract_h1(html_bytes: bytes | None) -> str:
+def extract_h1(html_bytes: bytes | str | None) -> str:
     """First <h1> content — our page's 'author mention' name field."""
     if html_bytes is None:
         return ""
-    s = bytes(html_bytes).decode("utf-8", errors="replace")
-    m = _RE_H1.search(s)
+    m = _RE_H1.search(decode_html(html_bytes))
     return _clean_fragment(m.group(1)) if m else ""
 
 
@@ -99,7 +109,12 @@ def extract_h1(html_bytes: bytes | None) -> str:
 
 def nfkd_ascii(s: str) -> str:
     """unicodedata.normalize('NFKD', s).encode('ASCII','ignore')
-    — ref dao/pubmed_author.py:52."""
+    — ref dao/pubmed_author.py:52. Pure-ASCII input is a provable
+    fixed point (NFKD never decomposes ASCII; encode/decode round-trips
+    byte-for-byte), so the C-speed isascii() check skips the NFKD pass
+    most web text pays for nothing."""
+    if s.isascii():
+        return s
     return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
 
 
