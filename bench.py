@@ -12,7 +12,7 @@ Modes:
   python bench.py                  # headline bench (one JSON line)
   python bench.py --er-only        # just the ER pipeline (pages/sec)
   python bench.py --scaling        # run ER pipeline at local[8] and
-                                   # local[32], write BENCH/BASELINE.md
+                                   # local[32], write BENCH/SCALING_LAST.md
 """
 
 from __future__ import annotations
@@ -361,8 +361,12 @@ efficiency sits in a 0.58-0.72 band while the host probe swings
 (before OR after the legs), which is exactly what the interleaved
 bracketing above fixes.
 """)
+    # BENCH/BASELINE.md is the hand-curated multi-invocation audit
+    # document (it keeps every invocation's table + committed raw JSON);
+    # a fresh run must not clobber that history, so the generated
+    # single-invocation report goes to a sidecar for manual merge.
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/SCALING_LAST.md", "w") as f:
         f.write("\n".join(lines))
 
 
