@@ -18,8 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _all_query_modules():
-    from webr.queries import dataops, er_docs, er_pipeline, relational
-    return [relational, er_docs, dataops, er_pipeline]
+    from webr.queries import (dataops, er_docs, er_pipeline, linkgraph,
+                              relational)
+    return [relational, er_docs, dataops, linkgraph, er_pipeline]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -51,6 +51,9 @@ HEADLINE = [
     "doc_blocking", "doc_pair_features", "doc_cosine_topk",
     "doc_components", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "quality_score", "fingerprint",
+    # round 4: the iterative link-graph op rides the headline too (5
+    # PageRank iterations = 5 chained shuffle rounds — worth measuring)
+    "link_pagerank",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Link-graph kernels (webr.links): extractor edge cases, PageRank vs a
+NumPy power-iteration twin (incl. the dangling-node path the synthetic
+corpus never hits), and degree arithmetic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from webr.links import extract_links, link_targets, pagerank, synth_link_html
+
+
+# --------------------------------------------------------------------------
+# extractor
+
+def test_extract_links_quote_styles():
+    html = ('<a href="http://a/1">one</a>'
+            "<a href='http://a/2'>two</a>"
+            "<a href=http://a/3>three</a>")
+    assert extract_links(html) == [
+        ("http://a/1", "one"), ("http://a/2", "two"), ("http://a/3", "three")]
+
+
+def test_extract_links_case_attr_order_and_markup():
+    html = ('<A rel="nofollow" HREF="http://a/x" target=_blank>'
+            "see <b>bold</b>\n  text</A>")
+    assert extract_links(html) == [("http://a/x", "see bold text")]
+
+
+def test_extract_links_ragged_html():
+    # no href -> skipped; unclosed trailing <a> -> skipped; empty/None ok
+    assert extract_links('<a name="top">anchor-less</a>'
+                         '<a href="http://a/1">ok</a>'
+                         '<a href="http://a/2">never closed') == [
+        ("http://a/1", "ok")]
+    assert extract_links("") == []
+    assert extract_links(None) == []
+    # href in a LATER tag must not be claimed by an earlier href-less <a>
+    assert extract_links('<a id="x">first</a><a href="u">second</a>') == [
+        ("u", "second")]
+    # data-href is NOT href
+    assert extract_links('<a data-href="bad" href="good">t</a>') == [
+        ("good", "t")]
+
+
+def test_synth_html_roundtrip_matches_arithmetic():
+    n = 37
+    for did in range(n):
+        got = [(int(h.rsplit("/", 1)[-1]), a)
+               for h, a in extract_links(synth_link_html(did, n))]
+        want = [(dst, f"see doc {dst}") for dst in link_targets(did, n)]
+        assert got == want, did
+
+
+def test_link_targets_invariants():
+    n = 50
+    for did in range(n):
+        ts = link_targets(did, n)
+        assert all(0 <= t < n and t != did for t in ts)
+        assert len(ts) >= 1  # no dangling pages
+    # hub skew: every 10th page cites doc 0
+    assert all(0 in link_targets(d, n) for d in range(10, n, 10))
+
+
+# --------------------------------------------------------------------------
+# PageRank vs NumPy power iteration
+
+def _numpy_pagerank(n: int, edges: list[tuple[int, int]], iters: int,
+                    d: float) -> np.ndarray:
+    outd = np.zeros(n)
+    for s, _ in edges:
+        outd[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = r[outd == 0].sum()
+        nxt += d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / outd[s]
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("edges,n", [
+    # synthetic-corpus shape (no dangling)
+    ([(s, t) for s in range(30) for t in set(link_targets(s, 30))], 30),
+    # explicit dangling node: 3 has no out-links
+    ([(0, 1), (1, 2), (2, 0), (0, 3), (1, 3)], 4),
+])
+def test_pagerank_matches_numpy(spark, edges, n):
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["r"]
+           for r in pagerank(nodes, edf, iters=5, damping=0.85).collect()}
+    want = _numpy_pagerank(n, edges, iters=5, d=0.85)
+    assert len(got) == n
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-12), i
+    # a probability distribution: mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_link_degree_hub_skew(spark):
+    from webr.queries.linkgraph import q_link_degree
+    deg = {r["doc_id"]: (r["out_deg"], r["in_deg"])
+           for r in q_link_degree(spark, "/root/testdata/sf0.001").collect()}
+    n = len(deg)
+    # arithmetic twin, straight from link_targets
+    want_in = {i: 0 for i in range(n)}
+    for s in range(n):
+        for t in set(link_targets(s, n)):
+            want_in[t] += 1
+    for i in range(n):
+        assert deg[i] == (len(set(link_targets(i, n))), want_in[i]), i
+    # the hub REALLY is skewed (its in-degree ~ n/10 + mod-rule hits)
+    assert deg[0][1] >= n // 10

@@ -55,6 +55,16 @@ CHECKS = {
     "media_sniff": (["MapInPandas"], ["CartesianProduct",
                                       "BatchEvalPython"]),
     "time_era_bucket": (["WholeStageCodegen"], ["CartesianProduct"]),
+    # round 4 link-graph family: extraction is Arrow-batched (no per-row
+    # UDF node); degrees/pagerank join+aggregate JVM-side (the one-row
+    # dangling-mass cross join lowers to a broadcast NLJ, never a
+    # CartesianProduct)
+    "link_extract": (["MapInPandas"], ["CartesianProduct",
+                                       "BatchEvalPython"]),
+    "link_degree": (["MapInPandas", "WholeStageCodegen"],
+                    ["CartesianProduct", "BatchEvalPython"]),
+    "link_pagerank": (["MapInPandas"], ["CartesianProduct",
+                                        "BatchEvalPython"]),
     "time_diff_pairs": ([], ["CartesianProduct"]),
     "feature_importance": ([], ["CartesianProduct"]),
 }

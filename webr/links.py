@@ -1,0 +1,160 @@
+"""Web link-graph kernels: real ``<a href>`` extraction from HTML plus an
+iterative PageRank builder.
+
+The reference has no link analysis (it resolves authors, not pages), but a
+Common-Crawl-scale training-data pipeline needs the link graph for crawl
+prioritization, domain ranking, and spam filtering — so this module adds
+the operator class the same way `webr.multimodal` added media sniffing:
+a pure-Python kernel that runs inside Arrow batches, exercised by driver
+queries whose DuckDB oracle recomputes the expected output from doc_id
+arithmetic alone (parser bugs break the value-hash match).
+
+Scale notes (100 TB): link extraction is a narrow per-row map (no
+shuffle); degree aggregation is one map-side-combined groupBy per
+direction; PageRank is the classic Pregel shape — the (edges ⋈ out-degree)
+frame is materialized ONCE and reused every iteration, each iteration is
+exactly one shuffle (contributions grouped by dst), and rank state is one
+slim (id, r) row per node.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# --------------------------------------------------------------------------
+# extraction kernel
+
+_A_OPEN = re.compile(r"<a\b", re.IGNORECASE)
+_A_CLOSE = re.compile(r"</a\s*>", re.IGNORECASE)
+# \s (not \b) before href: '-' is a word boundary, so \b would claim the
+# url out of data-href=... attributes
+_HREF = re.compile(
+    r"""\shref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE)
+_TAG = re.compile(r"<[^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def extract_links(html: str | None) -> list[tuple[str, str]]:
+    """All ``(href, anchor_text)`` pairs of ``<a ... href=...>`` tags, in
+    document order. Handles double-/single-/un-quoted href, any attribute
+    order, uppercase tags, and markup inside the anchor (stripped; inner
+    whitespace collapsed). An ``<a>`` without href, or without a closing
+    tag, is skipped — crawl HTML is ragged and extraction must not throw
+    (same contract as ``textproc.extract_text``)."""
+    if not html:
+        return []
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while True:
+        m = _A_OPEN.search(html, pos)
+        if m is None:
+            break
+        tag_end = html.find(">", m.end())
+        if tag_end < 0:
+            break
+        href_m = _HREF.search(html, m.end(), tag_end)
+        close = _A_CLOSE.search(html, tag_end + 1)
+        if close is None:
+            break
+        if href_m is not None:
+            href = next(g for g in href_m.groups() if g is not None)
+            anchor = _WS.sub(
+                " ", _TAG.sub(" ", html[tag_end + 1:close.start()])).strip()
+            out.append((href, anchor))
+        pos = close.end()
+    return out
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic link structure (the oracle's arithmetic twin —
+# any change here MUST be mirrored in webr/queries/linkgraph.py SQL)
+
+def link_targets(doc_id: int, n_docs: int) -> list[int]:
+    """Out-links of page ``doc_id`` in an ``n_docs``-page corpus:
+    1 + doc_id % 3 mod-rule targets (a fixed pseudo-random fan-out), plus
+    a hub link to doc 0 from every 10th page (deliberate in-degree skew —
+    the graph the degree/PageRank operators must survive). May contain
+    duplicates; edge-list consumers take the DISTINCT set."""
+    out = []
+    for j in range(doc_id % 3 + 1):
+        dst = (doc_id * 31 + 17 * j + 7) % n_docs
+        if dst == doc_id:  # no self-loops (keeps out-degree >= 1)
+            dst = (dst + 1) % n_docs
+        out.append(dst)
+    if doc_id % 10 == 0:
+        out.append(1 if doc_id == 0 else 0)
+    return out
+
+
+def synth_link_html(doc_id: int, n_docs: int) -> str:
+    """Deterministic page HTML whose anchor tags encode
+    ``link_targets`` — alternating quote styles and one attribute-order
+    flip so the extraction query exercises the parser's branches."""
+    parts = [f"<html><body><h1>Page {doc_id}</h1><p>"]
+    for k, dst in enumerate(link_targets(doc_id, n_docs)):
+        url = f"https://docs.example.org/d/{dst}"
+        if k % 3 == 0:
+            a = f'<a href="{url}">see <b>doc</b> {dst}</a>'
+        elif k % 3 == 1:
+            a = f"<a href='{url}' rel=nofollow>see doc {dst}</a>"
+        else:
+            a = f'<A rel="x" HREF={url}>see  doc\n{dst}</A>'
+        parts.append(f"cites {a} here. ")
+    parts.append("</p></body></html>")
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# PageRank (iterative DataFrame algorithm)
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+             damping: float = 0.85, n_nodes: int | None = None) -> DataFrame:
+    """Power-iteration PageRank over a DISTINCT ``(src, dst)`` edge list.
+
+    r_{k+1}(v) = (1-d)/N + d * (sum_{u->v} r_k(u)/outdeg(u)
+                              + dangling_mass_k / N)
+
+    One shuffle per iteration (contributions grouped by dst); the
+    (edges ⋈ out-degree) frame is cached once and reused across all
+    iterations, and the dangling-mass term is a one-row aggregate (zero
+    when every node has an out-link, as in the synthetic graph — the
+    DuckDB oracle relies on that). ``nodes`` must be the full vertex set
+    (one ``id`` column); ranks always sum to 1."""
+    n = n_nodes if n_nodes is not None else nodes.count()
+    eo = (edges
+          .join(edges.groupBy("src").agg(F.count("*").alias("outd")), "src")
+          .persist())
+    has_out = eo.select("src").distinct()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).persist()
+    for _ in range(iters):
+        dangling = (ranks.join(has_out, ranks.id == has_out.src,
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m")))
+        contribs = (eo.join(ranks.withColumnRenamed("id", "src"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("r") / F.col("outd")).alias("c")))
+        # one-row dangling mass rides a broadcast cross join (benign by
+        # construction, same shape as pr_curve's total row)
+        nxt = (nodes.join(contribs.withColumnRenamed("dst", "id"),
+                          "id", "left")
+               .crossJoin(F.broadcast(dangling))
+               .select("id",
+                       (F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("c"), F.lit(0.0))
+                           + F.col("m") / F.lit(float(n)))).alias("r"))
+               .persist())
+        # rank state is read twice per round (dangling mass +
+        # contributions): MATERIALIZE the new state before dropping its
+        # parent, else the final action re-derives every generation from
+        # scratch with a 2x lineage fan-out per round (2^iters subtree
+        # evaluations). One count() action per iteration is the standard
+        # Pregel-loop price; it also truncates the physical plan depth.
+        nxt.count()
+        ranks.unpersist()
+        ranks = nxt
+    return ranks
