@@ -55,6 +55,10 @@ CHECKS = {
     "media_sniff": (["MapInPandas"], ["CartesianProduct",
                                       "BatchEvalPython"]),
     "time_era_bucket": (["WholeStageCodegen"], ["CartesianProduct"]),
+    # as-of join lowers to ONE user_id shuffle + sorted window scan —
+    # never a range join / nested loop
+    "asof_join_events": (["Window", "WholeStageCodegen"],
+                         ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # round 4 link-graph family: extraction is Arrow-batched (no per-row
     # UDF node); degrees/pagerank join+aggregate JVM-side (the one-row
     # dangling-mass cross join lowers to a broadcast NLJ, never a

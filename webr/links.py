@@ -128,25 +128,34 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
     eo = (edges
           .join(edges.groupBy("src").agg(F.count("*").alias("outd")), "src")
           .persist())
-    has_out = eo.select("src").distinct()
+    # the dangling-node SET is static across iterations (only its rank
+    # mass changes) — derive it ONCE outside the loop; when it is empty
+    # (every node has an out-link) skip the mass term entirely, which is
+    # bitwise-identical (the term was exactly +0.0) and saves an
+    # anti-join + broadcast cross join per iteration
+    dang_ids = (nodes.join(eo.select("src").distinct(),
+                           nodes.id == F.col("src"), "left_anti")
+                .select("id").persist())
+    has_dangling = bool(dang_ids.limit(1).count())
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).persist()
     for _ in range(iters):
-        dangling = (ranks.join(has_out, ranks.id == has_out.src,
-                               "left_anti")
-                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m")))
         contribs = (eo.join(ranks.withColumnRenamed("id", "src"), "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("r") / F.col("outd")).alias("c")))
-        # one-row dangling mass rides a broadcast cross join (benign by
-        # construction, same shape as pr_curve's total row)
-        nxt = (nodes.join(contribs.withColumnRenamed("dst", "id"),
+        base = nodes.join(contribs.withColumnRenamed("dst", "id"),
                           "id", "left")
-               .crossJoin(F.broadcast(dangling))
-               .select("id",
-                       (F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("c"), F.lit(0.0))
-                           + F.col("m") / F.lit(float(n)))).alias("r"))
+        term = F.coalesce(F.col("c"), F.lit(0.0))
+        if has_dangling:
+            # one-row dangling mass rides a broadcast cross join (benign
+            # by construction, same shape as pr_curve's total row)
+            dangling = (ranks.join(dang_ids, "id")
+                        .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m")))
+            base = base.crossJoin(F.broadcast(dangling))
+            term = term + F.col("m") / F.lit(float(n))
+        nxt = (base.select(
+                   "id",
+                   (F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * term).alias("r"))
                .persist())
         # rank state is read twice per round (dangling mass +
         # contributions): MATERIALIZE the new state before dropping its

@@ -311,6 +311,58 @@ FROM d GROUP BY same_era ORDER BY same_era
 """
 
 
+# --- as-of join (time-series op Spark lacks natively; SURVEY §2.3 note) ------
+
+def q_asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase picks up the MOST RECENT prior-or-equal
+    click by the same user (attribution-style lookup).
+
+    Spark has no native ASOF JOIN; the naive encoding is a range
+    self-join (O(clicks x purchases) per user — explodes on hot users at
+    100 TB). This uses the scale-right union-and-scan shape instead:
+    union both event kinds, ONE shuffle on user_id, and a running
+    ``last(click_col, ignorenulls)`` over the ts-sorted partition —
+    linear in events per user, streaming-friendly, no range probe.
+    Click rows sort BEFORE purchases at equal ts (kind_rank) so the
+    prior-OR-EQUAL semantics match DuckDB's native ``ASOF LEFT JOIN ...
+    ON p.ts >= c.ts`` oracle exactly; event_id breaks any residual tie
+    deterministically. click_value is carried, not computed — bitwise
+    cross-engine; timestamps compare as epoch microseconds."""
+    ev = read(spark, sf, "events")
+    tagged = (ev.where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "ts", "value",
+                      F.when(F.col("event_type") == "click", 0)
+                      .otherwise(1).alias("kind_rank")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind_rank", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    click_ts = F.last(F.when(F.col("kind_rank") == 0, F.col("ts")),
+                      ignorenulls=True).over(w)
+    click_val = F.last(F.when(F.col("kind_rank") == 0, F.col("value")),
+                       ignorenulls=True).over(w)
+    return (tagged
+            .withColumn("click_ts", click_ts)
+            .withColumn("click_value", click_val)
+            .where(F.col("kind_rank") == 1)
+            .select("event_id", "user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("ts_us"),
+                    F.unix_micros(F.col("click_ts").cast("timestamp"))
+                    .alias("click_ts_us"),
+                    "click_value")
+            .orderBy("event_id"))
+
+
+SQL_ASOF_JOIN_EVENTS = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
@@ -322,4 +374,5 @@ QUERIES = {
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
     "time_era_bucket": (q_time_era_bucket, SQL_TIME_ERA_BUCKET),
     "time_diff_pairs": (q_time_diff_pairs, SQL_TIME_DIFF_PAIRS),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
 }
