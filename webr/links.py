@@ -3,8 +3,13 @@ iterative PageRank builder.
 
 The reference has no link analysis (it resolves authors, not pages), but a
 Common-Crawl-scale training-data pipeline needs the link graph for crawl
-prioritization, domain ranking, and spam filtering — so this module adds
-the operator class the same way `webr.multimodal` added media sniffing:
+prioritization, domain ranking, and spam filtering (method sources, all
+public: Page et al. 1999 "The PageRank citation ranking" for the power
+iteration incl. damping + dangling-mass redistribution; Common Crawl's
+published host-level web-graph releases for the degree/rank shape; the
+Malewicz et al. 2010 Pregel paper for the per-iteration superstep
+structure) — so this module adds the operator class the same way
+`webr.multimodal` added media sniffing:
 a pure-Python kernel that runs inside Arrow batches, exercised by driver
 queries whose DuckDB oracle recomputes the expected output from doc_id
 arithmetic alone (parser bugs break the value-hash match).
