@@ -52,8 +52,9 @@ HEADLINE = [
     "doc_components", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "quality_score", "fingerprint",
     # round 4: the iterative link-graph op rides the headline too (5
-    # PageRank iterations = 5 chained shuffle rounds — worth measuring)
-    "link_pagerank",
+    # PageRank iterations = 5 chained shuffle rounds — worth measuring),
+    # as does the windowed as-of join
+    "link_pagerank", "asof_join_events",
 ]
 
 
@@ -280,15 +281,30 @@ def main_scaling() -> None:
                      if brackets else None)
         norm = (round((thr_hi / thr_lo) / host_mean, 3)
                 if host_mean else None)
+        # per-run (same-window) efficiency: pair each run's lo and hi
+        # legs — they ran back-to-back inside one bracket window, so
+        # numerator and denominator sample the SAME hypervisor weather.
+        # best-of pairing can mix windows (a fast-window lo leg against
+        # a slow-window hi leg skews either way); reporting BOTH, for
+        # every run, keeps the statistic un-cherry-pickable.
+        run_effs = []
+        for r in range(runs):
+            rl = {x["cores"]: x for x in legs if x["run"] == r}
+            if lo in rl and hi in rl:
+                run_effs.append(round(
+                    rl[hi]["pages_per_sec"]
+                    / ((hi / lo) * rl[lo]["pages_per_sec"]), 3))
         all_pairs.append({"lo": lo, "hi": hi, "legs": legs, "best": best,
                           "raw_efficiency": eff,
+                          "run_efficiencies": run_effs,
                           "host_bracket_mean": host_mean,
                           "normalized_efficiency": norm})
 
     _write_scaling_md(all_pairs, runs, probe_units)
     print(json.dumps({"pairs": [
         {k: p[k] for k in ("lo", "hi", "raw_efficiency",
-                           "host_bracket_mean", "normalized_efficiency")}
+                           "run_efficiencies", "host_bracket_mean",
+                           "normalized_efficiency")}
         for p in all_pairs], "legs": [p["legs"] for p in all_pairs]}))
 
 
@@ -329,7 +345,11 @@ the round-3 judge flagged one-shot probes as unauditable. Reproduce:
 {lo}→{hi} process speedup sampled immediately before/after that leg.)
 
 - **raw scaling efficiency** = thr({hi}) / ({hi // lo} × thr({lo})) =
-  **{p['raw_efficiency']}** (north_rule target ≥ 0.8)
+  **{p['raw_efficiency']}** (north_rule target ≥ 0.8; best-of legs —
+  may pair legs from different probe windows)
+- **same-window per-run efficiencies** (each run's lo/hi legs ran
+  back-to-back inside one bracket window; all runs listed, none
+  dropped): **{", ".join(str(e) for e in p['run_efficiencies'])}**
 - host bracket mean (probes around the two ★ legs) =
   **{p['host_bracket_mean']}×** of an ideal {hi // lo}×
 - **host-normalized efficiency** = measured speedup / host bracket
