@@ -101,6 +101,26 @@ def test_pagerank_matches_numpy(spark, edges, n):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_partition_invariance(spark):
+    """The oracled query rounds ranks at 7dp; that is only a valid
+    cross-engine contract if the rounded values are invariant to Spark's
+    partition-dependent summation order. Pin it: same graph, different
+    partitionings, identical round-7 output."""
+    import pyspark.sql.functions as F
+    n = 40
+    edges = [(s, t) for s in range(n) for t in set(link_targets(s, n))]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    outs = []
+    for parts in (2, 13):
+        edf = spark.createDataFrame(edges, "src long, dst long") \
+            .repartition(parts)
+        r = pagerank(nodes, edf, iters=5, damping=0.85)
+        outs.append(sorted(
+            (row["id"], row["r7"]) for row in
+            r.select("id", F.round("r", 7).alias("r7")).collect()))
+    assert outs[0] == outs[1]
+
+
 def test_link_degree_hub_skew(spark):
     from webr.queries.linkgraph import q_link_degree
     deg = {r["doc_id"]: (r["out_deg"], r["in_deg"])
