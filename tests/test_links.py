@@ -101,6 +101,55 @@ def test_pagerank_matches_numpy(spark, edges, n):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_extract_links_roundtrip_property():
+    """Property: ANY list of (href, anchor) pairs rendered through a
+    randomized-but-valid HTML template — random quote style, attribute
+    order, tag case, inter-tag junk text — is recovered exactly, in
+    order. Hypothesis drives the renderer; the extractor never sees the
+    generation parameters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    href_st = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd"),
+                               whitelist_characters=":/._-"),
+        min_size=1, max_size=30).filter(
+            lambda s: not s.isspace() and ">" not in s)
+    anchor_st = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd"),
+                               whitelist_characters=" .,"),
+        min_size=0, max_size=20)
+    junk_st = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll",),
+                               whitelist_characters=" "),
+        max_size=10)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(href_st, anchor_st, junk_st,
+                              st.integers(0, 2), st.booleans(),
+                              st.booleans()),
+                    max_size=8))
+    def run(items):
+        parts = ["<html><body>"]
+        want = []
+        for href, anchor, junk, quote, upper, extra_attr in items:
+            q = ['"', "'", ""][quote]
+            if quote == 2 and (" " in href or not href):
+                q = '"'  # unquoted href cannot hold spaces / be empty
+            tag = "A" if upper else "a"
+            attr = ' rel="x"' if extra_attr else ""
+            pre = attr if extra_attr else ""
+            parts.append(
+                f"{junk}<{tag}{pre} href={q}{href}{q}{attr}>"
+                f"{anchor}</{tag}>")
+            want.append((href, " ".join(anchor.split())))
+        parts.append("</body></html>")
+        got = extract_links("".join(parts))
+        assert got == want
+
+    run()
+
+
 def test_pagerank_partition_invariance(spark):
     """The oracled query rounds ranks at 7dp; that is only a valid
     cross-engine contract if the rounded values are invariant to Spark's
@@ -119,6 +168,50 @@ def test_pagerank_partition_invariance(spark):
             (row["id"], row["r7"]) for row in
             r.select("id", F.round("r", 7).alias("r7")).collect()))
     assert outs[0] == outs[1]
+
+
+def test_streaming_link_indegree(spark):
+    """Streaming twin of link_degree: pages stream in, links are
+    extracted with the SAME kernel, and windowed per-host in-degree
+    equals the arithmetic ground truth (every link occurrence counted,
+    split across two 1h event-time windows)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from webr import schema
+    from webr.streaming import streaming_link_indegree
+
+    n = 24
+    rows = []
+    for i in range(n):
+        rows.append({
+            "url": f"https://src.example.net/p/{i}",
+            # first half in hour 0, second half in hour 1
+            "warc_ts": pd.Timestamp("2024-01-01 00:05:00")
+            + pd.Timedelta(hours=int(i >= n // 2)),
+            "html": synth_link_html(i, n).encode(),
+            "text": "", "lang": "eng"})
+    pdf = pd.DataFrame(rows)
+    in_dir = os.path.join(tempfile.mkdtemp(prefix="webr_slink_"), "in")
+    (spark.createDataFrame(
+        pdf[["url", "warc_ts", "html", "text", "lang"]],
+        schema=schema.PAGES).repartition(3).write.parquet(in_dir))
+
+    stream = spark.readStream.schema(schema.PAGES).parquet(in_dir)
+    q = (streaming_link_indegree(stream)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("slink").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r["window_start"]), r["target_host"]): r["in_links"]
+           for r in spark.sql("SELECT * FROM slink").collect()}
+    want_h0 = sum(len(link_targets(i, n)) for i in range(n // 2))
+    want_h1 = sum(len(link_targets(i, n)) for i in range(n // 2, n))
+    assert got == {
+        ("2024-01-01 00:00:00", "docs.example.org"): want_h0,
+        ("2024-01-01 01:00:00", "docs.example.org"): want_h1,
+    }
 
 
 def test_link_degree_hub_skew(spark):

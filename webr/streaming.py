@@ -95,6 +95,51 @@ def stream_dedup_exact(pages: DataFrame, watermark: str = "2 hours",
             .dropDuplicatesWithinWatermark(["fp"]))
 
 
+def streaming_link_indegree(pages: DataFrame, watermark: str = "2 hours",
+                            ) -> DataFrame:
+    """Streaming link-graph ingestion: extract ``<a href>`` targets from
+    each arriving page's html (webr.links.extract_links inside an
+    Arrow-batched mapInPandas — the same kernel as the batch link_*
+    queries) and maintain late-data-tolerant in-degree counts per target
+    host per 1h tumbling window. The incremental twin of the batch
+    ``link_degree`` operator: state is bounded by the watermark horizon
+    (windows finalize and evict), so a crawl frontier can consume fresh
+    in-degree signal continuously at 100 TB without unbounded state."""
+    import pandas as pd
+
+    from webr.links import extract_links
+    from webr.textproc import decode_html
+
+    def gen(batches):
+        for pdf in batches:
+            ts_l, tgt_l = [], []
+            for ts, html in zip(pdf["warc_ts"], pdf["html"]):
+                for href, _anchor in extract_links(decode_html(html)):
+                    ts_l.append(ts)
+                    tgt_l.append(href)
+            yield pd.DataFrame({
+                "warc_ts": pd.Series(
+                    ts_l, dtype=pdf["warc_ts"].dtype),
+                "href": pd.Series(tgt_l, dtype="object")})
+
+    # watermarks need TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the declared type is value-preserving (same rule as sessionized)
+    links = (pages.select("warc_ts", "html")
+             .mapInPandas(gen, "warc_ts timestamp, href string"))
+    tgt_host = F.lower(F.regexp_extract(
+        "href", r"^[a-z]+://([^/:?#]*)", 1))
+    return (links
+            .withColumn("warc_ts", F.coalesce(
+                F.col("warc_ts"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp")))
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"),
+                     tgt_host.alias("target_host"))
+            .agg(F.count("*").alias("in_links"))
+            .select(F.col("w.start").alias("window_start"),
+                    "target_host", "in_links"))
+
+
 def ingest_to_staging(spark: SparkSession, input_dir: str,
                       staging_dir: str, checkpoint_dir: str):
     """Exactly-once-per-batch append into the staging table via
