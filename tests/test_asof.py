@@ -25,6 +25,36 @@ def _run(spark, rows):
         rel.read = orig
 
 
+def test_cli_stats_reads_manifests_without_spark(tmp_path, capsys):
+    """`python -m webr stats` audits a warehouse from the manifests
+    alone — no SparkSession. Craft two stage manifests and assert rows,
+    per-file counters, observe counters, and lineage all surface."""
+    import json
+
+    from webr.__main__ import main
+
+    for t, man in {
+        "mentions": {"rows": 10, "snapshot": "abc123def456789",
+                     "lineage": {"input": "x"},
+                     "partitions": [{"path": "a.parquet", "rows": 6},
+                                    {"path": "b.parquet", "rows": 4}],
+                     "counters": {"parse_ok": 9, "parse_fail": 1}},
+        "idf": {"rows": 3, "snapshot": "ffff00001111",
+                "lineage": {"mentions": "y"}},
+    }.items():
+        d = tmp_path / t
+        d.mkdir()
+        (d / "_manifest.json").write_text(json.dumps(man))
+    assert main(["stats", "--warehouse", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "mentions: rows=10 snapshot=abc123def456" in out
+    assert "files=2 rows/file min=4 max=6" in out
+    assert "counters=parse_fail=1,parse_ok=9" in out
+    assert "lineage<-mentions" in out
+    # empty / non-warehouse dir: graceful non-zero
+    assert main(["stats", "--warehouse", str(tmp_path / "nope")]) == 1
+
+
 def test_asof_tie_and_left_semantics(spark):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     s = lambda sec: t0 + dt.timedelta(seconds=sec)

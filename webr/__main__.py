@@ -87,6 +87,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Operability view of the warehouse: per-stage snapshot, row count,
+    lineage edges, per-partition file counters, and observe() counters —
+    everything a resume-after-failure needs to audit WITHOUT launching a
+    SparkSession (manifests are plain JSON next to the parquet)."""
+    import json
+    import os
+
+    root = args.warehouse
+    tables = sorted(
+        d for d in os.listdir(root)
+        if os.path.isfile(os.path.join(root, d, "_manifest.json"))) \
+        if os.path.isdir(root) else []
+    if not tables:
+        print(f"no stage manifests under {root}", file=sys.stderr)
+        return 1
+    for t in tables:
+        with open(os.path.join(root, t, "_manifest.json")) as f:
+            man = json.load(f)
+        parts = man.get("partitions") or []
+        skew = ""
+        if parts:
+            rows = [p["rows"] for p in parts]
+            skew = (f" files={len(parts)} "
+                    f"rows/file min={min(rows)} max={max(rows)}")
+        counters = man.get("counters") or {}
+        cstr = (" counters=" + ",".join(
+            f"{k}={v}" for k, v in sorted(counters.items()))
+            if counters else "")
+        lineage = man.get("lineage") or {}
+        lstr = (" lineage<-" + ",".join(sorted(lineage))
+                if lineage else "")
+        print(f"{t}: rows={man.get('rows')} "
+              f"snapshot={str(man.get('snapshot'))[:12]}{skew}{cstr}{lstr}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="webr")
     p.add_argument("--master", default=None,
@@ -100,8 +137,13 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--warehouse", required=True)
     pq.add_argument("--pages", required=True)
     pq.add_argument("--out", default=None)
+    ps = sub.add_parser(
+        "stats", help="print stage manifests (rows, lineage, partition "
+        "counters) without a SparkSession")
+    ps.add_argument("--warehouse", required=True)
     args = p.parse_args(argv)
-    return {"run": cmd_run, "query": cmd_query}[args.cmd](args)
+    return {"run": cmd_run, "query": cmd_query,
+            "stats": cmd_stats}[args.cmd](args)
 
 
 if __name__ == "__main__":
