@@ -54,6 +54,8 @@ CHECKS = {
                                         "BatchEvalPython"]),
     "media_sniff": (["MapInPandas"], ["CartesianProduct",
                                       "BatchEvalPython"]),
+    "warc_parse": (["MapInPandas"], ["CartesianProduct",
+                                     "BatchEvalPython"]),
     "time_era_bucket": (["WholeStageCodegen"], ["CartesianProduct"]),
     # as-of join lowers to ONE user_id shuffle + sorted window scan —
     # never a range join / nested loop

@@ -1071,6 +1071,81 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_warc_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC source round-trip with an arithmetic oracle (media_sniff
+    pattern): each doc_id synthesizes a full WARC response record
+    (webr.warc writer — WARC/1.0 headers + stored HTTP response block),
+    half the records ride per-record gzip members (Common Crawl's
+    layout) and a skip-me request record is planted per batch; the REAL
+    parser (iter_warc_records) walks the concatenated blobs and the
+    DuckDB twin recomputes url→doc_id, WARC-Date→epoch, body md5 and
+    byte length from doc_id arithmetic alone. A writer, parser, HTTP
+    unwrap, gzip, or record-boundary bug breaks the value hash."""
+    import datetime as dt
+    import gzip as gz
+
+    import pandas as pdl
+
+    from webr.warc import iter_warc_records, warc_record_bytes
+
+    d = read(spark, sf, "documents").select("doc_id")
+    epoch0 = dt.datetime(2024, 1, 1)
+
+    def gen(batches):
+        for pdf in batches:
+            plain, gzd = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                body = (f"<html><body><p>warc doc {did}</p></body></html>"
+                        .encode())
+                date = (epoch0 + dt.timedelta(seconds=97 * did)
+                        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                rec = warc_record_bytes(
+                    f"https://warc.example.org/d/{did}", date, body)
+                if did % 2 == 0:
+                    gzd.append(gz.compress(rec))
+                else:
+                    plain.append(rec)
+            # a request record the parser must skip
+            plain.append(warc_record_bytes(
+                "https://warc.example.org/ignored",
+                "2024-01-01T00:00:00Z", b"GET / HTTP/1.1",
+                warc_type="request"))
+            rows = []
+            for blob in (b"".join(plain), b"".join(gzd)):
+                for rec in iter_warc_records(blob):
+                    rows.append({
+                        "url": rec["url"],
+                        "ts": pdl.to_datetime(rec["date"], utc=True)
+                        .tz_localize(None),
+                        "html": rec["html"]})
+            yield pdl.DataFrame(
+                rows, columns=["url", "ts", "html"])
+
+    parsed = d.mapInPandas(
+        gen, "url string, ts timestamp, html binary")
+    return (parsed.select(
+        F.regexp_extract("url", "/d/([0-9]+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.md5("html").alias("body_md5"),
+        F.octet_length("html").cast("long").alias("n_bytes"))
+        .orderBy("doc_id"))
+
+
+SQL_WARC_PARSE = """
+SELECT doc_id,
+       epoch_us(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id * 97))
+         AS ts_us,
+       md5('<html><body><p>warc doc ' || doc_id || '</p></body></html>')
+         AS body_md5,
+       CAST(octet_length(encode(
+         '<html><body><p>warc doc ' || doc_id || '</p></body></html>'))
+         AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN scale paths (webr.similarity): multi-table sign-LSH bucket join and
 # IVF-flat probe join. Both replace the O(N·Q) cross join with equi-joins on
@@ -1278,6 +1353,7 @@ QUERIES = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "media_sniff": (q_media_sniff, SQL_MEDIA_SNIFF),
+    "warc_parse": (q_warc_parse, SQL_WARC_PARSE),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk()),
     "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk()),
 }
