@@ -19,7 +19,6 @@ from __future__ import annotations
 import gzip
 from typing import Iterator
 
-import pyspark.sql.functions as F  # noqa: F401  (kept for API symmetry)
 from pyspark.sql import DataFrame, SparkSession
 
 from webr import schema
