@@ -74,10 +74,16 @@ def test_asof_tie_and_left_semantics(spark):
         (7, s(4), 3, "purchase", 9.0, "{}"),
         # other event types never act as the click side
         (8, s(2), 3, "view", 7.0, "{}"),
+        # user 4: TWO clicks at the SAME ts — the defined winner is the
+        # max-event_id one (the oracle pre-dedupes to the same row)
+        (9, s(1), 4, "click", 4.1, "{}"),
+        (10, s(1), 4, "click", 4.2, "{}"),
+        (11, s(2), 4, "purchase", 9.0, "{}"),
     ]
     got = _run(spark, rows)
     assert got[2] == (us(10), 1.5)      # equal-ts click included
     assert got[3] == (None, None)       # only later clicks -> null
     assert got[6] == (us(2), 2.0)       # latest prior click wins
     assert got[7] == (None, None)       # no click for user -> left row
-    assert set(got) == {2, 3, 6, 7}     # purchases only
+    assert got[11] == (us(1), 4.2)      # duplicate-ts: max event_id wins
+    assert set(got) == {2, 3, 6, 7, 11}  # purchases only

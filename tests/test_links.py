@@ -170,6 +170,62 @@ def test_pagerank_partition_invariance(spark):
     assert outs[0] == outs[1]
 
 
+def test_pagerank_50_iters_bounded(spark):
+    """Real iteration counts: 50 rounds must stay fast and flat —
+    localCheckpoint every 10 rounds cuts the lineage to a leaf, so the
+    final logical plan is shallow instead of 50 joins deep, and no
+    intermediate cache survives the call (eo / dang_ids / per-round
+    states are all unpersisted; only the returned ranks remain)."""
+    import time
+
+    import pyspark.sql.functions as F
+    n = 60
+    edges = [(s, t) for s in range(n) for t in set(link_targets(s, n))]
+    # make doc 59 dangling so the dangling-mass branch runs all 50 rounds
+    edges = [(s, t) for (s, t) in edges if s != 59]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persistent_ids()
+    t0 = time.monotonic()
+    r = pagerank(nodes, edf, iters=50, damping=0.85)
+    wall = time.monotonic() - t0
+    total = r.agg(F.sum("r")).first()[0]
+    assert abs(total - 1.0) < 1e-9          # mass conserved through 50 rounds
+    assert wall < 120                        # no per-round plan blowup
+    # iter 50 ends on a checkpoint boundary: the plan is a leaf scan,
+    # not a 50-deep join tree
+    plan = r._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    after = persistent_ids()
+    assert len(after - before) <= 1          # only the returned ranks
+    r.unpersist()
+
+
+def test_pagerank_tol_early_exit_matches_converged(spark):
+    """tol: iteration stops once the L1 delta drops below it (damping
+    0.5 contracts the delta ~2x/round, so 1e-10 is reached around round
+    35 of the granted 200), and the early-exited ranks equal a fixed
+    deep run to well beyond the tolerance (the fixed point is the fixed
+    point)."""
+    n = 40
+    edges = [(s, t) for s in range(n) for t in set(link_targets(s, n))]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    early = {row["id"]: row["r"] for row in
+             pagerank(nodes, edf, iters=200, damping=0.5,
+                      tol=1e-10).collect()}
+    assert pagerank.last_iters < 60         # it really exited early
+    deep = {row["id"]: row["r"] for row in
+            pagerank(nodes, edf, iters=60, damping=0.5).collect()}
+    assert set(early) == set(deep)
+    assert all(abs(early[i] - deep[i]) < 1e-8 for i in early)
+    assert abs(sum(early.values()) - 1.0) < 1e-9
+
+
 def test_streaming_link_indegree(spark):
     """Streaming twin of link_degree: pages stream in, links are
     extracted with the SAME kernel, and windowed per-host in-degree

@@ -116,8 +116,25 @@ def synth_link_html(doc_id: int, n_docs: int) -> str:
 # --------------------------------------------------------------------------
 # PageRank (iterative DataFrame algorithm)
 
+def _release(df: DataFrame) -> None:
+    """Free a retired rank-state generation. ``DataFrame.unpersist``
+    only reaches the cache manager, which does not track localCheckpoint
+    block storage — those blocks must be dropped via the LogicalRDD's
+    underlying RDD, else every checkpointed round leaks its blocks until
+    the ContextCleaner happens to GC the reference."""
+    df.unpersist()
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            lp.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; the ContextCleaner reclaims eventually
+
+
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
-             damping: float = 0.85, n_nodes: int | None = None) -> DataFrame:
+             damping: float = 0.85, n_nodes: int | None = None,
+             tol: float | None = None,
+             checkpoint_every: int = 10) -> DataFrame:
     """Power-iteration PageRank over a DISTINCT ``(src, dst)`` edge list.
 
     r_{k+1}(v) = (1-d)/N + d * (sum_{u->v} r_k(u)/outdeg(u)
@@ -128,7 +145,26 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
     iterations, and the dangling-mass term is a one-row aggregate (zero
     when every node has an out-link, as in the synthetic graph — the
     DuckDB oracle relies on that). ``nodes`` must be the full vertex set
-    (one ``id`` column); ranks always sum to 1."""
+    (one ``id`` column); ranks always sum to 1.
+
+    Real iteration counts: the rank state is ``localCheckpoint``-ed to
+    cut the LOGICAL plan back to a leaf — persist+count bounds physical
+    re-execution but not plan growth. Without dangling nodes the plan
+    deepens linearly (one self-reference per round) and a cut every
+    ``checkpoint_every`` rounds suffices; WITH dangling nodes each round
+    references the rank state twice (contributions + mass aggregate), so
+    the analyzed tree DOUBLES per round (2^k leaves — measured: the
+    AQE plan-string emission alone OOMs a 1 GiB driver by round 7) and
+    the state is checkpointed EVERY round. The checkpoint is the round's
+    materializing action, so it replaces — not adds to — the Pregel
+    count. With ``tol`` set, iteration stops early once the L1 delta
+    ||r_{k+1} - r_k|| drops below it (one slim extra join per round).
+    All intermediate cache is dropped before returning; the returned
+    ranks frame holds checkpoint/persist blocks and the CALLER owns
+    unpersisting it. Lineage-truncation tradeoff: localCheckpoint blocks
+    are not rebuildable after executor loss — on a real cluster pair
+    long runs with a reliable ``spark.sparkContext.setCheckpointDir``
+    variant or accept re-running from the last completed round."""
     n = n_nodes if n_nodes is not None else nodes.count()
     eo = (edges
           .join(edges.groupBy("src").agg(F.count("*").alias("outd")), "src")
@@ -143,7 +179,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                 .select("id").persist())
     has_dangling = bool(dang_ids.limit(1).count())
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).persist()
-    for _ in range(iters):
+    for it in range(1, iters + 1):
         contribs = (eo.join(ranks.withColumnRenamed("id", "src"), "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("r") / F.col("outd")).alias("c")))
@@ -157,18 +193,33 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                         .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m")))
             base = base.crossJoin(F.broadcast(dangling))
             term = term + F.col("m") / F.lit(float(n))
-        nxt = (base.select(
-                   "id",
-                   (F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * term).alias("r"))
-               .persist())
-        # rank state is read twice per round (dangling mass +
-        # contributions): MATERIALIZE the new state before dropping its
-        # parent, else the final action re-derives every generation from
-        # scratch with a 2x lineage fan-out per round (2^iters subtree
-        # evaluations). One count() action per iteration is the standard
-        # Pregel-loop price; it also truncates the physical plan depth.
-        nxt.count()
-        ranks.unpersist()
-        ranks = nxt
+        nxt = base.select(
+            "id",
+            (F.lit((1.0 - damping) / n)
+             + F.lit(damping) * term).alias("r"))
+        # MATERIALIZE the new state before dropping its parent, else the
+        # final action re-derives every generation from scratch. A
+        # dangling graph reads the rank state twice per round, so its
+        # analyzed plan doubles per round unless cut NOW (see docstring);
+        # the linear-growth case is cut every checkpoint_every rounds.
+        if has_dangling or it % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)  # lineage cut to leaf
+        else:
+            nxt = nxt.persist()
+            nxt.count()
+        if tol is not None:
+            delta = (nxt.join(ranks.select(
+                         "id", F.col("r").alias("r_prev")), "id")
+                     .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))))
+                     .first()[0])
+            _release(ranks)
+            ranks = nxt
+            if delta is not None and delta < tol:
+                break
+        else:
+            _release(ranks)
+            ranks = nxt
+    eo.unpersist()
+    dang_ids.unpersist()
+    pagerank.last_iters = it  # introspection aid (tests pin early exit)
     return ranks

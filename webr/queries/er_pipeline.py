@@ -21,7 +21,18 @@ _N_ENTITIES = 12
 _PAGES_PER_ENTITY = 12
 
 
+# One pipeline execution shared by all five driver queries: keyed on the
+# Spark applicationId so a restarted session never reuses stale plans.
+# Without this, a driver sweep over the registry pays five full pipeline
+# runs (one per query below) for identical outputs.
+_RUN_CACHE: dict = {}
+
+
 def _run(spark: SparkSession) -> dict:
+    key = (spark.sparkContext.applicationId,
+           _SEED, _N_ENTITIES, _PAGES_PER_ENTITY)
+    if key in _RUN_CACHE:
+        return _RUN_CACHE[key]
     pages_pd = pages_to_pandas(generate_pages(
         n_entities=_N_ENTITIES, pages_per_entity=_PAGES_PER_ENTITY,
         seed=_SEED))
@@ -29,7 +40,10 @@ def _run(spark: SparkSession) -> dict:
         pages_pd[["url", "warc_ts", "html", "text", "lang"]],
         schema=schema.PAGES)
     wh = os.path.join(tempfile.gettempdir(), "webr_entry_wh")
-    return Pipeline(spark, wh, input_id=f"entry-{_SEED}").run(pages)
+    out = Pipeline(spark, wh, input_id=f"entry-{_SEED}").run(pages)
+    _RUN_CACHE.clear()
+    _RUN_CACHE[key] = out
+    return out
 
 
 def q_er_clusters(spark: SparkSession, sf: str) -> DataFrame:

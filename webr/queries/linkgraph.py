@@ -32,12 +32,25 @@ _PR_ITERS = 5
 _PR_DAMPING = 0.85
 
 
+# documents row count per sf dir. The testdata tables are immutable, so
+# one count job per (app, dir) suffices — previously EVERY link-query
+# invocation paid a count job before its real work. At 100 TB this is
+# table-stat metadata (a parquet-footer read), not a scan.
+_NDOCS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _n_docs(spark: SparkSession, sf: str) -> int:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _NDOCS_CACHE:
+        _NDOCS_CACHE[key] = read(spark, sf, "documents").count()
+    return _NDOCS_CACHE[key]
+
+
 def _link_rows(spark: SparkSession, sf: str) -> tuple[DataFrame, int]:
     """(src, href, anchor) rows from the real extractor over the
-    synthesized corpus HTML. n_docs comes from a count at test scale; at
-    100 TB it is table-stat metadata (one parquet-footer read)."""
+    synthesized corpus HTML."""
     d = read(spark, sf, "documents").select("doc_id")
-    n_docs = d.count()
+    n_docs = _n_docs(spark, sf)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,8 +207,43 @@ FROM r{_PR_ITERS} ORDER BY doc_id
 """
 
 
+def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level rank — the actual crawl-prioritization artifact: page
+    PageRank aggregated to each page's serving host (the documents
+    table's real ``source`` column plays the host), with the host's page
+    count alongside. One slim broadcast-sized join (doc_id -> source)
+    plus one map-side-combined groupBy on top of the page ranks; rank
+    sums are rounded AFTER the host sum so both engines round the same
+    IEEE double once."""
+    edges, n_docs = _edges(spark, sf)
+    docs = read(spark, sf, "documents").select("doc_id", "source")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    ranks = pagerank(nodes, edges, iters=_PR_ITERS, damping=_PR_DAMPING,
+                     n_nodes=n_docs)
+    out = (ranks.join(docs, ranks.id == docs.doc_id)
+           .groupBy(F.col("source").alias("host"))
+           .agg(F.round(F.sum("r"), 7).alias("host_rank"),
+                F.count("*").alias("n_pages"))
+           .orderBy(F.desc("host_rank"), "host"))
+    return out
+
+
+SQL_HOST_RANK = f"""
+WITH {_EDGES_CTE},
+outd AS (SELECT src AS doc_id, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS id, 1.0::DOUBLE / (SELECT n FROM nn) AS r
+       FROM documents),
+{",".join(_pr_iteration_sql(k) for k in range(1, _PR_ITERS + 1))}
+SELECT d.source AS host, round(sum(rr.r), 7) AS host_rank,
+       count(*) AS n_pages
+FROM r{_PR_ITERS} rr JOIN documents d ON d.doc_id = rr.id
+GROUP BY d.source ORDER BY host_rank DESC, host
+"""
+
+
 QUERIES = {
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "link_degree": (q_link_degree, SQL_LINK_DEGREE),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "host_rank": (q_host_rank, SQL_HOST_RANK),
 }

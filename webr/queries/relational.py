@@ -325,9 +325,14 @@ def q_asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
     linear in events per user, streaming-friendly, no range probe.
     Click rows sort BEFORE purchases at equal ts (kind_rank) so the
     prior-OR-EQUAL semantics match DuckDB's native ``ASOF LEFT JOIN ...
-    ON p.ts >= c.ts`` oracle exactly; event_id breaks any residual tie
-    deterministically. click_value is carried, not computed — bitwise
-    cross-engine; timestamps compare as epoch microseconds."""
+    ON p.ts >= c.ts`` oracle exactly. Duplicate (user_id, ts) clicks:
+    the window order (ts, kind_rank, event_id) means the running last()
+    keeps the MAX-event_id click of an equal-ts group — an implicit
+    dedupe, no extra shuffle — while DuckDB's ASOF tie-break among
+    equal c.ts rows is unspecified, so the oracle pre-dedupes its click
+    side to that same max-event_id row explicitly. click_value is
+    carried, not computed — bitwise cross-engine; timestamps compare as
+    epoch microseconds."""
     ev = read(spark, sf, "events")
     tagged = (ev.where(F.col("event_type").isin("click", "purchase"))
               .select("event_id", "user_id", "ts", "value",
@@ -357,7 +362,14 @@ SQL_ASOF_JOIN_EVENTS = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        epoch_us(c.ts) AS click_ts_us, c.value AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  -- one click per (user_id, ts): max event_id, matching the Spark
+  -- window's implicit equal-ts winner (ASOF's own tie-break among
+  -- equal c.ts rows is engine-unspecified)
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
 """

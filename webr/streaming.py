@@ -126,15 +126,21 @@ def streaming_link_indegree(pages: DataFrame, watermark: str = "2 hours",
     # the declared type is value-preserving (same rule as sessionized)
     links = (pages.select("warc_ts", "html")
              .mapInPandas(gen, "warc_ts timestamp, href string"))
+    # case-insensitive scheme match (HTTP://Host/.. counts), host
+    # lowercased after extraction; relative/schemeless hrefs produce an
+    # empty host and are DROPPED rather than pooled into one "" group
     tgt_host = F.lower(F.regexp_extract(
-        "href", r"^[a-z]+://([^/:?#]*)", 1))
+        "href", r"^(?i:[a-z][a-z0-9+.-]*)://([^/:?#]*)", 1))
+    # a row with no warc_ts has no window to land in: drop it explicitly
+    # (aliasing it to epoch-1970 would only let the watermark silently
+    # discard it as late data — same outcome, hidden)
     return (links
-            .withColumn("warc_ts", F.coalesce(
-                F.col("warc_ts"),
-                F.lit("1970-01-01 00:00:00").cast("timestamp")))
+            .where(F.col("warc_ts").isNotNull())
+            .withColumn("target_host", tgt_host)
+            .where(F.col("target_host") != "")  # before the stateful agg
             .withWatermark("warc_ts", watermark)
             .groupBy(F.window("warc_ts", "1 hour").alias("w"),
-                     tgt_host.alias("target_host"))
+                     "target_host")
             .agg(F.count("*").alias("in_links"))
             .select(F.col("w.start").alias("window_start"),
                     "target_host", "in_links"))
