@@ -372,3 +372,45 @@ def test_lang_id_multilang(spark):
         pd.testing.assert_frame_equal(_canon(got), _canon(want))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lang_id_scripts(spark):
+    """Planted fixture per non-Latin script: codepoint-range detection
+    must classify CJK/Cyrillic/Arabic/Devanagari text (which the ASCII
+    stopword sets are blind to — these all used to land in 'other'),
+    mixed text must clear the 30% floor before the script claims it,
+    and the DuckDB twin must agree cell-for-cell."""
+    from webr.queries.dataops import SQL_LANG_ID, q_lang_id
+
+    texts = {
+        0: ("cjk", "日本語のページです。東京と京都の写真を掲載しています。"),
+        1: ("cjk", "这是一个中文网页 关于北京和上海的新闻报道"),
+        2: ("cyrl", "это страница на русском языке о москве и новостях"),
+        3: ("arab", "هذه صفحة باللغة العربية عن الأخبار والثقافة"),
+        4: ("deva", "यह हिंदी भाषा में एक पृष्ठ है जो समाचार के बारे में है"),
+        # latin text with a couple of foreign chars: script must NOT
+        # claim it (ratio below the 0.30 floor), stopwords pick 'en'
+        5: ("en", "the cat is on the mat and the dog is in the house й 中"),
+        # stopword-free ASCII stays 'other'
+        6: ("other", "zzz qqq www rrr kkk mmm nnn ppp"),
+    }
+    d = tempfile.mkdtemp(prefix="webr_langscript_")
+    try:
+        rows = [{"doc_id": k, "text": t, "lang": lg, "source": "s",
+                 "n_chars": len(t)} for k, (lg, t) in texts.items()]
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        got = q_lang_id(spark, d).toPandas()
+        by_id = got.set_index("doc_id")
+        for k, (lg, _t) in texts.items():
+            assert by_id.loc[k, "pred_lang"] == lg, (k, lg, by_id.loc[k])
+        assert by_id.loc[0, "ratio_cjk"] > 0.8
+        assert by_id.loc[2, "ratio_cyrl"] > 0.8
+        assert by_id.loc[3, "ratio_arab"] > 0.8
+        assert by_id.loc[4, "ratio_deva"] > 0.6  # danda/matras mix in
+        assert float(by_id.loc[5, ["ratio_cjk", "ratio_cyrl", "ratio_arab",
+                                   "ratio_deva"]].max()) < 0.30
+        want = _duck(d, SQL_LANG_ID)
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

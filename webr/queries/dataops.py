@@ -498,13 +498,36 @@ _LANG_STOPS: dict[str, list[str]] = {
 }
 _LANGS = sorted(_LANG_STOPS)  # alphabetical = deterministic tie-break
 
+# Non-Latin script detection ahead of the stopword argmax: a real crawl
+# is majority non-English and heavily non-Latin, and ASCII stopword sets
+# are blind to it (every CJK/Cyrillic/Arabic page used to land in
+# 'other', blinding the quality stage for most of the corpus). Counts
+# are codepoint-range character counts over contiguous BMP blocks;
+# single-character string comparison is codepoint order in BOTH engines
+# (UTF-8 binary collation preserves it), so this stays zero-UDF exact
+# integer arithmetic. Prediction is script-level ('cjk'/'cyrl'/'arab'/
+# 'deva' — within-script language ID would need in-script stopword
+# tables), language-level for Latin text.
+_SCRIPT_RANGES: dict[str, list[tuple[str, str]]] = {
+    "arab": [("؀", "ۿ")],            # Arabic
+    "cjk": [("぀", "ヿ"),              # Hiragana + Katakana
+            ("一", "鿿")],             # CJK Unified Ideographs
+    "cyrl": [("Ѐ", "ӿ")],            # Cyrillic
+    "deva": [("ऀ", "ॿ")],            # Devanagari
+}
+_SCRIPTS = sorted(_SCRIPT_RANGES)  # alphabetical = deterministic tie-break
+_SCRIPT_MIN_RATIO = 0.30  # of non-space chars; CJK prose clears 0.9
+
 
 def _lang_id_parts(engine: str) -> tuple[list[str], list[str]]:
-    """Engine-twin expression fragments: per-language count exprs over a
-    ``toks`` column, and the output select list (argmax pred_lang with
-    alphabetical tie-break on equal counts, winning ratio, margin to the
-    runner-up). Integer counts do the argmax, so cross-engine parity is
-    exact arithmetic, no float comparisons."""
+    """Engine-twin expression fragments: per-language stopword count
+    exprs over a ``toks`` column plus per-script codepoint-range count
+    exprs over a ``chars`` column, and the output select list (script
+    argmax first, then stopword argmax, both with alphabetical tie-break
+    on equal counts; winning ratio and margin to the runner-up for the
+    stopword path, per-script ratios alongside). Integer counts do both
+    argmaxes, so cross-engine parity is exact arithmetic, no float
+    comparisons."""
     counts = []
     for lg in _LANGS:
         words = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPS[lg]))
@@ -514,8 +537,17 @@ def _lang_id_parts(engine: str) -> tuple[list[str], list[str]]:
         else:
             counts.append(f"len(list_filter(toks, x -> list_contains("
                           f"[{words}], x))) AS n_{lg}")
+    for sc in _SCRIPTS:
+        cond = " OR ".join(f"(x >= '{lo}' AND x <= '{hi}')"
+                           for lo, hi in _SCRIPT_RANGES[sc])
+        if engine == "spark":
+            counts.append(f"size(filter(chars, x -> {cond})) AS s_{sc}")
+        else:
+            counts.append(f"len(list_filter(chars, x -> {cond})) AS s_{sc}")
     nlen = ("greatest(size(toks), 1)" if engine == "spark"
             else "greatest(len(toks), 1)")
+    nchars = ("greatest(size(chars), 1)" if engine == "spark"
+              else "greatest(len(chars), 1)")
     best = "greatest(" + ", ".join(f"n_{lg}" for lg in _LANGS) + ")"
     win = ("CASE " + " ".join(f"WHEN n_{lg} = {best} THEN '{lg}'"
                               for lg in _LANGS) + " END")
@@ -523,29 +555,41 @@ def _lang_id_parts(engine: str) -> tuple[list[str], list[str]]:
         f"WHEN ({win}) = '{lg}' THEN greatest("
         + ", ".join(f"n_{o}" for o in _LANGS if o != lg) + ")"
         for lg in _LANGS) + " END")
+    sbest = "greatest(" + ", ".join(f"s_{sc}" for sc in _SCRIPTS) + ")"
+    swin = ("CASE " + " ".join(f"WHEN s_{sc} = {sbest} THEN '{sc}'"
+                               for sc in _SCRIPTS) + " END")
     cast = (lambda x: f"cast({x} AS DOUBLE)") if engine == "spark" \
         else (lambda x: f"({x})::DOUBLE")
     select = [
         "doc_id", "lang",
-        f"CASE WHEN {cast(best)} / {nlen} >= 0.03 THEN ({win}) "
+        f"CASE WHEN {cast(sbest)} / {nchars} >= {_SCRIPT_MIN_RATIO} "
+        f"THEN ({swin}) "
+        f"WHEN {cast(best)} / {nlen} >= 0.03 THEN ({win}) "
         f"ELSE 'other' END AS pred_lang",
         f"round({cast(best)} / {nlen}, 6) AS best_ratio",
         f"round({cast(f'{best} - ({second})')} / {nlen}, 6) AS margin",
     ]
+    select += [f"round({cast(f's_{sc}')} / {nchars}, 6) AS ratio_{sc}"
+               for sc in _SCRIPTS]
     return counts, select
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic multi-class language ID (en/es/de/fr/it + 'other'):
-    per-language stopword counts, integer argmax with alphabetical
-    tie-break, winning ratio and runner-up margin. Pure JVM expressions
-    (whole-stage codegen, no UDF) — at 100 TB this is a narrow scan-time
-    map with zero shuffle. Planted-fixture per-language correctness in
-    tests/test_bounded_pairs.py::test_lang_id_multilang."""
+    """Heuristic multi-class language ID: codepoint-range script argmax
+    first (cjk/cyrl/arab/deva — a real crawl is mostly non-Latin), then
+    en/es/de/fr/it per-language stopword counts, integer argmax with
+    alphabetical tie-break, winning ratio and runner-up margin, 'other'
+    when nothing clears its floor. Pure JVM expressions (whole-stage
+    codegen, no UDF) — at 100 TB this is a narrow scan-time map with
+    zero shuffle. Planted-fixture per-language and per-script
+    correctness in tests/test_bounded_pairs.py::test_lang_id_multilang
+    and ::test_lang_id_scripts."""
     counts, select = _lang_id_parts("spark")
     return (read(spark, sf, "documents")
             .withColumn("toks", F.expr(spark_tokens("text")))
-            .selectExpr("doc_id", "lang", "toks",
+            .withColumn("chars", F.expr(
+                "filter(split(text, ''), x -> x <> ' ' AND x <> '')"))
+            .selectExpr("doc_id", "lang", "toks", "chars",
                         *[c for c in counts])
             .selectExpr(*select)
             .orderBy("doc_id"))
@@ -554,9 +598,11 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_lang_id() -> str:
     counts, select = _lang_id_parts("duck")
     return f"""
-WITH t AS (SELECT doc_id, lang, {duck_tokens('text')} AS toks
+WITH t AS (SELECT doc_id, lang, {duck_tokens('text')} AS toks,
+           list_filter(string_split(text, ''),
+                       x -> x <> ' ' AND x <> '') AS chars
            FROM documents),
-c AS (SELECT doc_id, lang, toks, {', '.join(counts)} FROM t)
+c AS (SELECT doc_id, lang, toks, chars, {', '.join(counts)} FROM t)
 SELECT {', '.join(select)} FROM c ORDER BY doc_id
 """
 
