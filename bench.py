@@ -17,6 +17,7 @@ Modes:
 
 from __future__ import annotations
 
+import re
 import json
 import os
 import shutil
@@ -193,9 +194,13 @@ def _host_ceiling(lo: int, hi: int, units: int | None = None) -> dict:
 
 
 def _run_er_leg(cores: int) -> dict:
-    """One pinned --er-only pipeline run at `cores` cores."""
+    """One pinned --er-only pipeline run at `cores` cores. Captures the
+    per-stage walls (WEBR_STAGE_TIMING prints from the warehouse stage
+    builder) so the scaling report can show WHICH stage stops scaling
+    first, not just the end-to-end ratio."""
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cores),
+               WEBR_STAGE_TIMING="1",
                WEBR_SHUFFLE_PARTITIONS=str(max(2 * cores, 16)))
     # taskset pins the whole process tree (JVM + GC/shuffle threads +
     # forked python workers) to exactly `cores` CPUs: without it the
@@ -211,7 +216,14 @@ def _run_er_leg(cores: int) -> dict:
         lines = [ln for ln in p.stdout.strip().splitlines()
                  if ln.startswith("{")]
         if lines:
-            return json.loads(lines[-1])
+            res = json.loads(lines[-1])
+            stages = {}
+            for ln in p.stdout.splitlines():
+                m = re.match(r"\[stage\] (\w+): ([0-9.]+)s", ln.strip())
+                if m:
+                    stages[m.group(1)] = float(m.group(2))
+            res["stages"] = stages
+            return res
         print(f"[leg local[{cores}] attempt {attempt}] no result; "
               f"stderr tail:\n" + "\n".join(
                   p.stderr.strip().splitlines()[-15:]), file=sys.stderr)
@@ -355,6 +367,28 @@ the round-3 judge flagged one-shot probes as unauditable. Reproduce:
 - **host-normalized efficiency** = measured speedup / host bracket
   mean = **{p['normalized_efficiency']}**
 """)
+        st_lo = p["best"][lo].get("stages") or {}
+        st_hi = p["best"][hi].get("stages") or {}
+        if st_lo and st_hi:
+            lines.append(f"\n### Per-stage walls (★ legs), "
+                         f"local[{lo}] vs local[{hi}]\n")
+            lines.append(f"| stage | local[{lo}] (s) | local[{hi}] (s) "
+                         f"| stage speedup | share @ local[{hi}] |\n"
+                         "|---|---|---|---|---|")
+            tot_hi = sum(st_hi.values()) or 1.0
+            for st in [s for s in
+                       ("mentions", "idf", "mention_feats", "pairs",
+                        "pair_scores", "clusters", "entities")
+                       if s in st_lo and s in st_hi]:
+                sp = round(st_lo[st] / st_hi[st], 2) if st_hi[st] else None
+                lines.append(
+                    f"| {st} | {st_lo[st]} | {st_hi[st]} | {sp}× "
+                    f"| {100 * st_hi[st] / tot_hi:.0f}% |")
+            lines.append(
+                "\n(stage speedup = lo-leg wall / hi-leg wall for the ★ "
+                "legs — identifies which stage stops scaling first; "
+                "share = that stage's fraction of the hi leg's summed "
+                "stage wall.)")
     lines.append(f"""
 ## Reading the numbers
 
