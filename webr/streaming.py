@@ -31,7 +31,11 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
 def windowed_host_counts(pages: DataFrame) -> DataFrame:
     """Late-data-tolerant page counts per host per 1h tumbling window
     (watermark 2h): the streaming analog of the blocking-stage A1 stats."""
-    host = F.lower(F.regexp_extract("url", r"^[a-z]+://([^/:?#]*)", 1))
+    # lowercase BEFORE the scheme match (same fix as
+    # streaming_link_indegree): 'HTTP://Host/..' must normalize to its
+    # host, not fall into one "" group because the scheme class is
+    # lowercase-only
+    host = F.regexp_extract(F.lower("url"), r"^[a-z]+://([^/:?#]*)", 1)
     return (pages
             .withWatermark("warc_ts", "2 hours")
             .groupBy(F.window("warc_ts", "1 hour").alias("w"),
