@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import pandas as pd
@@ -463,21 +464,46 @@ class Pipeline:
             lineage={"input": self.base}, observation=obs_m)
         n_mentions = wh.manifest("mentions")["rows"]
 
+        # idf -> mention_feats and pairs both depend only on the
+        # materialized mentions checkpoint — two independent DAG
+        # branches. Build them from two driver threads so their Spark
+        # jobs share the executor pool instead of running back-to-back:
+        # serial stage latency costs the same wall at every cluster
+        # width, so overlapping it is what keeps N -> 4N scaling honest
+        # (concurrent actions on one SparkSession are supported; with
+        # FIFO scheduling a later job fills whatever task slots the
+        # front job leaves idle). Snapshots/lineage are unchanged, so
+        # resume semantics and outputs are identical to the serial
+        # order, and each branch is internally sequential.
         s_idf = self.snap("idf", s_m)
-        idf = wh.stage("idf", s_idf,
-                       lambda: build_idf(mentions, n_mentions),
-                       lineage={"mentions": s_m})
-
-        n_vocab = wh.manifest("idf")["rows"]
         s_mi = self.snap("mention_feats", s_m, s_idf)
-        mention_feats = wh.stage(
-            "mention_feats", s_mi,
-            lambda: build_mention_feats(mentions, idf, vocab_rows=n_vocab),
-            lineage={"mentions": s_m, "idf": s_idf})
-
         s_p = self.snap("pairs", s_m)
-        pairs = wh.stage("pairs", s_p, lambda: build_pairs(mentions),
-                         lineage={"mentions": s_m})
+
+        def _branch_feats() -> tuple[DataFrame, DataFrame]:
+            idf = wh.stage("idf", s_idf,
+                           lambda: build_idf(mentions, n_mentions),
+                           lineage={"mentions": s_m})
+            n_vocab = wh.manifest("idf")["rows"]
+            mf = wh.stage(
+                "mention_feats", s_mi,
+                lambda: build_mention_feats(mentions, idf,
+                                            vocab_rows=n_vocab),
+                lineage={"mentions": s_m, "idf": s_idf})
+            return idf, mf
+
+        def _branch_pairs() -> DataFrame:
+            return wh.stage("pairs", s_p, lambda: build_pairs(mentions),
+                            lineage={"mentions": s_m})
+
+        if os.environ.get("WEBR_OVERLAP_STAGES", "1") != "0":
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_feats = ex.submit(_branch_feats)
+                fut_pairs = ex.submit(_branch_pairs)
+                idf, mention_feats = fut_feats.result()
+                pairs = fut_pairs.result()
+        else:
+            idf, mention_feats = _branch_feats()
+            pairs = _branch_pairs()
 
         # scoring salt sized from the MATERIALIZED pair count (the pairs
         # manifest already knows it — no extra job): ~100k pairs/group
