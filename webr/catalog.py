@@ -210,6 +210,12 @@ class Warehouse:
         out = self.write(table, build(), snapshot, lineage, partition_by,
                          observation=observation)
         if os.environ.get("WEBR_STAGE_TIMING"):
-            print(f"[stage] {table}: {time.monotonic() - t0:.2f}s "
-                  f"rows={self.manifest(table)['rows']}", flush=True)
+            # single write incl. newline: stages may finish concurrently
+            # (overlapped pipeline branches) and interleaved partial
+            # lines would garble the bench harness's per-stage parse
+            import sys
+            sys.stdout.write(
+                f"[stage] {table}: {time.monotonic() - t0:.2f}s "
+                f"rows={self.manifest(table)['rows']}\n")
+            sys.stdout.flush()
         return out
